@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.gen.{GoldGen, Synth, SynthParams}
+import graft.ops.Metrics
+
+/** spark-submit-shaped entry point (north_rule: "run via spark-submit"):
+  * generates the deterministic fixture, runs the full ER pipeline with
+  * checkpoint/resume under `checkpointDir`, evaluates pairwise F1 against the
+  * gold pairs, and prints a one-line JSON summary.
+  *
+  * Usage: graft.Main <checkpointDir> [nPages] [nEntities] [--no-resume]
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val checkpointDir = args.headOption.getOrElse("/tmp/graft-ckpt")
+    val nPages = args.lift(1).map(_.toInt).getOrElse(5000)
+    val nEntities = args.lift(2).map(_.toInt).getOrElse(400)
+    val resume = !args.contains("--no-resume")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .appName("graft-er-pipeline")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val p = SynthParams(nPages = nPages, nEntities = nEntities)
+    val cfg = PipelineConfig(checkpointDir = checkpointDir, resume = resume)
+
+    val t0 = System.nanoTime()
+    val result = Pipeline.run(spark, Synth.pages(spark, p).toDF(),
+      Synth.dict(spark, p).toDF(), cfg)
+    val nClusters = result.clusters.select("cluster_id").distinct().count()
+    val nPairs = result.scored.count()
+    val wall = (System.nanoTime() - t0) / 1e9
+
+    val gold = GoldGen.goldPairs(spark, p, cfg.maxBlock, cfg.saltThreshold, cfg.nSalts)
+    val f1 = Metrics.pairwiseF1(result.scored, gold)
+      .filter(col("split") === "test")
+      .select("precision", "recall", "f1").head()
+
+    println(
+      s"""{"pages":$nPages,"pairs":$nPairs,"clusters":$nClusters,""" +
+      s""""precision":${f1.getDouble(0)},"recall":${f1.getDouble(1)},""" +
+      s""""f1":${f1.getDouble(2)},"wall_sec":$wall,""" +
+      s""""pages_per_sec":${nPages / wall}}""")
+    spark.stop()
+  }
+}

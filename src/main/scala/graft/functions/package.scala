@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+import graft.expr._
+
+/** Column-level API over the custom Catalyst expressions plus composed
+  * built-in helpers (SURVEY.md §2.8, §2.9). Design rule: built-in expression
+  * composition > custom Expression > Scala UDF; there are no Scala UDFs in
+  * this package.
+  */
+package object functions {
+
+  private def col2e(c: Column) = ColumnBridge.expression(c)
+  private def e2col(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    ColumnBridge.column(e)
+
+  /** Jaro-Winkler similarity in [0,1]. Custom codegen'd Expression. */
+  def jaro_winkler(a: Column, b: Column): Column =
+    e2col(JaroWinklerExpr(col2e(a.cast("string")), col2e(b.cast("string"))))
+
+  /** MinHash signature (Array[Long]) over character k-shingles. */
+  def minhash_sig(text: Column, k: Int = 3, numHashes: Int = 64,
+      seed: Long = 42L): Column =
+    e2col(MinHashSigExpr(col2e(text.cast("string")), k, numHashes, seed))
+
+  /** 64-bit SimHash over whitespace tokens. */
+  def simhash64(text: Column, seed: Long = 42L): Column =
+    e2col(SimHash64Expr(col2e(text.cast("string")), seed))
+
+  /** Deterministic signed-random-projection embedding, L2-normalized. */
+  def hash_embed(text: Column, dim: Int = 128, seed: Long = 42L): Column =
+    e2col(HashEmbedExpr(col2e(text.cast("string")), dim, seed))
+
+  /** Cosine similarity between two Array[Float] columns. */
+  def cosine_sim(a: Column, b: Column): Column =
+    e2col(CosineSimExpr(
+      col2e(a.cast(ArrayType(FloatType))), col2e(b.cast(ArrayType(FloatType)))))
+
+  /** Levenshtein ratio in [0,1]: 1 - dist/max(len). Built-ins only. */
+  def lev_ratio(a: Column, b: Column): Column =
+    when(length(a) === 0 && length(b) === 0, lit(1.0)).otherwise(
+      lit(1.0) - levenshtein(a, b).cast("double") /
+        greatest(length(a), length(b)).cast("double"))
+
+  /** Lowercased alphanumeric normalization (reference's token normalization,
+    * `main_scripts/sent_bert_emb_viz_util.py:224`). */
+  def norm_alnum(c: Column): Column =
+    regexp_replace(lower(c), "[^a-z0-9]+", "")
+
+  /** Distinct lowercase whitespace tokens. */
+  def token_set(c: Column): Column =
+    array_distinct(filter(split(lower(c), "\\s+"), t => length(t) > 0))
+
+  /** Token-set Jaccard similarity (SURVEY.md §2.7 T6). */
+  def token_jaccard(a: Column, b: Column): Column = {
+    val u = size(array_union(token_set(a), token_set(b)))
+    when(u === 0, lit(1.0)).otherwise(
+      size(array_intersect(token_set(a), token_set(b))).cast("double") /
+        u.cast("double"))
+  }
+
+  /** LSH band keys from a minhash signature: one string key per band,
+    * `l:<band>:<hash of the band's row slice>`. Built-in generator-free
+    * composition; pair with posexplode/explode at the call site.
+    * bands * rowsPerBand must equal the signature length.
+    */
+  def lsh_band_keys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      concat_ws(":", lit("l"), b.cast("string"),
+        xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).cast("string")))
+
+  /** ±w-token context window around the first occurrence of `surface` in
+    * `text`, as a single string (reference's context window,
+    * `main_scripts/sent_bert_emb_viz_util.py:205-262`). Token-level, built-ins
+    * only. Falls back to the whole text when the surface's first token is not
+    * found (array_position = 0).
+    */
+  def context_window(text: Column, surface: Column, w: Int): Column = {
+    val tokens = split(text, "\\s+")
+    val sTokens = split(surface, "\\s+")
+    val idx = array_position(tokens, element_at(sTokens, 1))
+    when(idx === 0, text).otherwise(
+      array_join(
+        slice(tokens,
+          greatest(lit(1), (idx - w).cast("int")),
+          lit(2 * w) + size(sTokens)),
+        " "))
+  }
+
+  /** Rolling-hash document fingerprint: xxhash64 of the normalized text —
+    * cheap exact-dup fingerprint for the documents pipeline. */
+  def doc_fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(text), "\\s+", " "))
+}

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Transitive clustering: connected components over the match-edge graph via
+  * iterative large-star / small-star (Kiveris et al., "Connected Components
+  * in MapReduce and Beyond", SOCC'14 — public algorithm), expressed entirely
+  * as DataFrame aggregations + joins.
+  *
+  * Reference analogue: the bounded-depth transitive mapping chains
+  * UMLS→ORDO→ICD10→ICD9 (`main_scripts/rare_disease_id_util.py:278-322`) and
+  * per-document union-dedup aggregation
+  * (`main_scripts/step9_processing_all_documents.py:241-252`) generalized to
+  * true transitive closure (SURVEY.md §2.11).
+  *
+  * Scale notes:
+  *  - each iteration is groupBy(min) + join back — both hash-partitioned on
+  *    the node id, so successive iterations reuse the same partitioning;
+  *  - lineage is cut EVERY iteration (localCheckpoint or parquet checkpoint)
+  *    — without this, Catalyst analysis time explodes superlinearly
+  *    (SURVEY.md §4.2.2);
+  *  - iteration count is O(log n) in component size; convergence is detected
+  *    by an aggregate checksum of the edge set, not a driver-side collect of
+  *    data rows.
+  */
+object Clustering {
+
+  /** Large-star: for each node u with neighborhood N(u) (symmetric edges),
+    * m = min(N(u) ∪ {u}); emit (v, m) for every v in N(u) with v > u. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+    // min(N(u) ∪ {u}) == min over rows of least(u, v)
+    val m = sym.select(col("u"), least(col("u"), col("v")).as("uv"))
+      .groupBy("u").agg(min(col("uv")).as("m"))
+    sym.join(m, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star: orient edges u > v; for each u, m = min of its smaller
+    * neighbors; emit (v, m) for each smaller neighbor and (u, m). */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val oriented = edges.select(
+      greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+    val m = oriented.groupBy("u").agg(min(col("v")).as("m"))
+    oriented.join(m, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .unionByName(m.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Deterministic order-independent checksum of an edge set: count + sum of
+    * per-row hashes. Cheap convergence detector (no driver collect). */
+  private def checksum(edges: DataFrame): (Long, BigDecimal) = {
+    // decimal sum: exact and overflow-free under ANSI mode
+    val row = edges.agg(
+      count(lit(1)).as("c"),
+      coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("h")).head()
+    (row.getLong(0), BigDecimal(row.getDecimal(1)))
+  }
+
+  /** Connected components over undirected string edges (u, v).
+    * Returns (node, cluster_id) where cluster_id = min node of the component.
+    * `checkpointDir`: when set, each iteration persists to parquet (resumable
+    * lineage cut); otherwise localCheckpoint is used (tests).
+    */
+  def connectedComponents(spark: SparkSession, edges0: DataFrame,
+      checkpointDir: Option[String] = None, maxIter: Int = 50): DataFrame = {
+    var edges = edges0.select(col("u"), col("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    var last: (Long, BigDecimal) = (-1L, BigDecimal(-1))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges))
+      val cut = checkpointDir match {
+        case Some(dir) =>
+          val path = s"$dir/cc_iter_$iter"
+          next.write.mode("overwrite").parquet(path)
+          spark.read.parquet(path)
+        case None =>
+          next.localCheckpoint(eager = true)
+      }
+      val cs = checksum(cut)
+      converged = cs == last
+      last = cs
+      edges = cut
+      iter += 1
+    }
+    // converged edge set is (node -> component-min) star edges
+    edges.select(col("u").as("url"), col("v").as("cluster_id"))
+  }
+
+  /** Cluster assignment for every node that appears in `nodes`: CC labels for
+    * connected nodes, self-cluster for isolated ones. */
+  def clusters(spark: SparkSession, matchPairs: DataFrame, nodes: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val edges = matchPairs.filter(col("is_match"))
+      .select(col("url_a").as("u"), col("url_b").as("v"))
+    val cc = connectedComponents(spark, edges, checkpointDir)
+    nodes.select(col("url")).distinct()
+      .join(cc, Seq("url"), "left")
+      .select(col("url"), coalesce(col("cluster_id"), col("url")).as("cluster_id"))
+  }
+}

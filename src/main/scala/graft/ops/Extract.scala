@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{context_window, norm_alnum}
+
+/** Extraction stage: latest-snapshot dedup, deterministic text extraction
+  * from html with the byte-identical invariant (input_hint / SURVEY.md §2.2
+  * P14), and mention extraction.
+  *
+  * Reference analogue: `main_scripts/step0_mimic3_data_processing.py` —
+  * category filter (:65 → our lang filter), per-document annotation parsing
+  * (:139-253 → our regex mention extraction; the reference outsources NER to
+  * SemEHR, we extract Capitalized token runs deterministically).
+  *
+  * Scale notes: every operator here is a narrow projection/filter except the
+  * snapshot-dedup window (one shuffle on url — unavoidable for latest-wins
+  * semantics, and the same partitioning CC wants later). All expressions are
+  * whole-stage-codegen'd built-ins.
+  */
+object Extract {
+
+  /** Keep the latest snapshot per url (warc_ts desc, html hash as a
+    * deterministic tiebreak). SURVEY.md §2.10: warc_ts is a plain timestamp,
+    * not a watermark. */
+  def latestSnapshot(pages: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("url"))
+      .orderBy(col("warc_ts").desc, xxhash64(col("html")).asc)
+    pages.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Deterministic extraction: the text is the <p>…</p> body payload. */
+  def extractedText(html: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract(html.cast("string"), "<p>(.*)</p>", 1)
+
+  /** Per-row invariant (P14): extracted text must be byte-identical to the
+    * `text` column. Returns pages + boolean `invariant_ok`; violations are
+    * counted into the metrics table by the pipeline, never thrown per-row
+    * (reference tolerates and records bad rows rather than failing,
+    * `main_scripts/step0_mimic3_data_processing.py:249-253`). */
+  def withInvariant(pages: DataFrame): DataFrame =
+    pages.withColumn("invariant_ok",
+      sha2(extractedText(col("html")).cast("binary"), 256) ===
+        sha2(col("text").cast("binary"), 256))
+
+  /** Mention extraction: maximal runs of Capitalized tokens in the extracted
+    * text of English pages. Output: (url, surface, begin, end, ctx).
+    * ctx = ±`ctxWindow` tokens around the mention (reference context window,
+    * `main_scripts/sent_bert_emb_viz_util.py:205-262`).
+    */
+  def mentions(pages: DataFrame, ctxWindow: Int = 8): DataFrame = {
+    val mentionRe = "[A-Z][A-Za-z0-9]*(?: [A-Z][A-Za-z0-9]*)*"
+    pages
+      .filter(col("lang") === "en" && col("invariant_ok"))
+      .select(col("url"), extractedText(col("html")).as("text"))
+      .select(col("url"), col("text"),
+        explode(expr(s"""regexp_extract_all(text, '$mentionRe', 0)""")).as("surface"))
+      .filter(length(col("surface")) >= 2)
+      .withColumn("begin", expr("instr(text, surface)") - 1)
+      .withColumn("end", col("begin") + length(col("surface")))
+      .withColumn("ctx", context_window(col("text"), col("surface"), ctxWindow))
+      .withColumn("norm_key", norm_alnum(col("surface")))
+      .drop("text")
+  }
+}

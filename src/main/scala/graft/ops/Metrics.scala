@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Evaluation + lineage metrics.
+  *
+  * Pairwise precision/recall/F1 mirrors the reference's confusion-sum
+  * evaluation (`main_scripts/evaluation_util.py:7-15`; SURVEY.md A7/A11):
+  * four conditional sums, P/R/F1 as derived columns — one aggregation, no
+  * collect of data rows.
+  *
+  * Per-stage, per-partition lineage rows implement the north_rule's
+  * "per-partition lineage + metrics": a groupBy(spark_partition_id) count —
+  * an extra cheap job per stage, never a driver-side loop.
+  */
+object Metrics {
+
+  /** Join predicted pairs to gold pairs (gold is defined on same-block pairs;
+    * a gold pair missing from predictions counts as predicted-negative, like
+    * the reference's zero-fill of error rows,
+    * `main_scripts/step9_processing_all_documents.py:139-140`).
+    * Output: one row per split with tp/fp/fn/tn/precision/recall/f1. */
+  def pairwiseF1(scored: DataFrame, goldPairs: DataFrame): DataFrame = {
+    val preds = scored.select(col("url_a"), col("url_b"),
+      col("is_match").cast("int").as("pred"))
+    val joined = goldPairs.join(preds, Seq("url_a", "url_b"), "left")
+      .withColumn("pred", coalesce(col("pred"), lit(0)))
+    confusion(joined.groupBy(col("split")))
+  }
+
+  /** Confusion sums + P/R/F1 over rows with `pred` and `gold` int columns. */
+  def confusion(grouped: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+    grouped.agg(
+      sum(when(col("pred") === 1 && col("gold") === 1, 1).otherwise(0)).as("tp"),
+      sum(when(col("pred") === 1 && col("gold") === 0, 1).otherwise(0)).as("fp"),
+      sum(when(col("pred") === 0 && col("gold") === 1, 1).otherwise(0)).as("fn"),
+      sum(when(col("pred") === 0 && col("gold") === 0, 1).otherwise(0)).as("tn"))
+      .withColumn("precision",
+        when(col("tp") + col("fp") === 0, lit(0.0))
+          .otherwise(col("tp").cast("double") / (col("tp") + col("fp"))))
+      .withColumn("recall",
+        when(col("tp") + col("fn") === 0, lit(0.0))
+          .otherwise(col("tp").cast("double") / (col("tp") + col("fn"))))
+      .withColumn("f1",
+        when(col("precision") + col("recall") === 0.0, lit(0.0))
+          .otherwise(lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))))
+
+  /** Per-partition lineage rows for a stage's output. */
+  def stageMetrics(df: DataFrame, runId: String, stage: String,
+      wallMs: Long): DataFrame =
+    df.groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("rows"))
+      .select(
+        lit(runId).as("run_id"), lit(stage).as("stage"),
+        col("partition_id"), col("rows"), lit(wallMs).as("wall_ms"))
+}

@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expr.{HashEmbed, JaroWinkler, MinHash, SimHash}
+import graft.functions._
+
+/** Unit + property tests for the custom expressions (SURVEY.md §5.2).
+  * Property tests are seeded-random loops (the scalatest<->scalacheck bridge
+  * artifact is not in the offline cache, so forAll is unavailable; the
+  * properties themselves are unchanged). */
+class ExprSpec extends SparkSpec {
+
+  // --- Jaro-Winkler: known value table (standard published examples) ---
+  test("jaro-winkler known values") {
+    JaroWinkler.compute("MARTHA", "MARHTA") shouldBe 0.9611 +- 0.0001
+    JaroWinkler.compute("DIXON", "DICKSONX") shouldBe 0.8133 +- 0.0001
+    JaroWinkler.compute("JELLYFISH", "SMELLYFISH") shouldBe 0.8962 +- 0.0001
+    JaroWinkler.compute("abc", "abc") shouldBe 1.0
+    JaroWinkler.compute("", "abc") shouldBe 0.0
+    JaroWinkler.compute("abc", "") shouldBe 0.0
+    JaroWinkler.compute("a", "b") shouldBe 0.0
+  }
+
+  test("jaro-winkler properties: symmetric, [0,1], identity=1") {
+    val rnd = new scala.util.Random(42)
+    def randStr() = {
+      val n = rnd.nextInt(25)
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }
+    (0 until 500).foreach { _ =>
+      val a = randStr(); val b = randStr()
+      val ab = JaroWinkler.compute(a, b)
+      val ba = JaroWinkler.compute(b, a)
+      ab shouldBe ba +- 1e-12
+      ab should be >= 0.0
+      ab should be <= 1.0
+      JaroWinkler.compute(a, a) shouldBe 1.0
+    }
+  }
+
+  test("jaro-winkler expression matches object impl through codegen") {
+    import spark.implicits._
+    val df = Seq(("MARTHA", "MARHTA"), ("kitten", "sitting"), ("x", "x"))
+      .toDF("a", "b")
+    val rows = df.select(jaro_winkler(col("a"), col("b"))).as[Double].collect()
+    rows(0) shouldBe JaroWinkler.compute("MARTHA", "MARHTA") +- 1e-12
+    rows(1) shouldBe JaroWinkler.compute("kitten", "sitting") +- 1e-12
+    rows(2) shouldBe 1.0
+  }
+
+  // --- Levenshtein ratio ---
+  test("lev_ratio edge cases") {
+    import spark.implicits._
+    val df = Seq(("kitten", "sitting"), ("", ""), ("abc", "abc"), ("abc", ""))
+      .toDF("a", "b")
+    val r = df.select(lev_ratio(col("a"), col("b"))).as[Double].collect()
+    r(0) shouldBe (1.0 - 3.0 / 7.0) +- 1e-12
+    r(1) shouldBe 1.0
+    r(2) shouldBe 1.0
+    r(3) shouldBe 0.0
+  }
+
+  // --- token jaccard ---
+  test("token_jaccard") {
+    import spark.implicits._
+    val df = Seq(
+      ("alpha beta gamma", "beta gamma delta"),
+      ("a b", "a b"),
+      ("x", "y")).toDF("a", "b")
+    val r = df.select(token_jaccard(col("a"), col("b"))).as[Double].collect()
+    r(0) shouldBe 0.5 +- 1e-12
+    r(1) shouldBe 1.0
+    r(2) shouldBe 0.0
+  }
+
+  // --- minhash ---
+  test("minhash determinism + jaccard estimation sanity") {
+    val a = MinHash.signatureArray("huntington disease gene", 3, 128, 42L)
+    val b = MinHash.signatureArray("huntington disease gene", 3, 128, 42L)
+    a shouldBe b
+    // near-identical strings agree on most hash slots
+    val c = MinHash.signatureArray("huntington diseose gene", 3, 128, 42L)
+    val agree = a.zip(c).count { case (x, y) => x == y }
+    agree.toDouble / 128 should be > 0.5
+    // unrelated strings agree on few slots
+    val d = MinHash.signatureArray("completely different words", 3, 128, 42L)
+    val agree2 = a.zip(d).count { case (x, y) => x == y }
+    agree2.toDouble / 128 should be < 0.2
+  }
+
+  test("minhash signature invariant under content repetition") {
+    // the shingle SET of s+s (joined seamlessly) contains all shingles of s;
+    // exact self-repetition keeps min-hashes for shared shingles
+    val a = MinHash.signatureArray("abcdefgh", 3, 64, 42L)
+    val b = MinHash.signatureArray("abcdefghabcdefgh", 3, 64, 42L)
+    // every min over a subset is >= min over superset
+    a.zip(b).foreach { case (x, y) => y should be <= x }
+  }
+
+  test("lsh band keys: identical strings share all bands, disjoint share none") {
+    import spark.implicits._
+    val df = Seq("huntington disease", "huntington disease", "zzz qqq vvv")
+      .toDF("s")
+      .select(col("s"), lsh_band_keys(minhash_sig(col("s")), 16, 4).as("bands"))
+    val rows = df.as[(String, Seq[String])].collect()
+    rows(0)._2 shouldBe rows(1)._2
+    rows(0)._2.toSet.intersect(rows(2)._2.toSet) shouldBe empty
+    rows(0)._2.size shouldBe 16
+  }
+
+  // --- simhash ---
+  test("simhash: identical tokens identical hash; similar texts near in hamming") {
+    val a = SimHash.compute("the quick brown fox jumps over the lazy dog", 42L)
+    val b = SimHash.compute("the quick brown fox jumps over the lazy dog", 42L)
+    a shouldBe b
+    val c = SimHash.compute("the quick brown fox jumps over the lazy cat", 42L)
+    val d = SimHash.compute("totally unrelated words appear here instead now", 42L)
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    ham(a, c) should be < ham(a, d)
+  }
+
+  // --- hash embed + cosine ---
+  test("hash_embed: unit norm, deterministic, same-text cosine 1") {
+    val v = HashEmbed.embedArray("alpha beta gamma", 128, 42L)
+    val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+    norm shouldBe 1.0 +- 1e-5
+    import spark.implicits._
+    val df = Seq(
+      ("alpha beta gamma", "alpha beta gamma"),
+      ("alpha beta gamma", "delta epsilon zeta omega theta iota")).toDF("a", "b")
+    val r = df.select(cosine_sim(hash_embed(col("a")), hash_embed(col("b"))))
+      .as[Double].collect()
+    r(0) shouldBe 1.0 +- 1e-6
+    math.abs(r(1)) should be < 0.4
+  }
+
+  test("cosine_sim on explicit float arrays") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 1.0f), Array(1.0f, 0.0f))).toDF("a", "b")
+    val r = df.select(cosine_sim(col("a"), col("b"))).as[Double].collect()
+    r(0) shouldBe 1.0 +- 1e-6
+    r(1) shouldBe 0.0 +- 1e-6
+    r(2) shouldBe (1.0 / math.sqrt(2)) +- 1e-6
+  }
+
+  // --- context window ---
+  test("context_window slices ±w tokens around the mention") {
+    import spark.implicits._
+    val text = "a b c d e Xx Yy f g h i"
+    val df = Seq((text, "Xx Yy")).toDF("text", "surface")
+    val r = df.select(context_window(col("text"), col("surface"), 2)).as[String].head()
+    r shouldBe "d e Xx Yy f g"
+  }
+
+  test("norm_alnum strips to lowercase alphanumerics") {
+    import spark.implicits._
+    val df = Seq("Hunting-ton's Disease 2!").toDF("s")
+    df.select(norm_alnum(col("s"))).as[String].head() shouldBe "huntingtonsdisease2"
+  }
+}

@@ -28,8 +28,8 @@ case class PipelineConfig(
     saltThreshold: Int = 64,
     nSalts: Int = 16,
     weights: Scoring.Weights = Scoring.Weights(),
-    embedDim: Int = 128,
-    ctxWindow: Int = 8,
+    embedDim: Int = 256,
+    ctxWindow: Int = 4,
     seed: Long = 42L,
     runId: String = "run")
 

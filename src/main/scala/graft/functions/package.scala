@@ -32,7 +32,7 @@ package object functions {
     e2col(SimHash64Expr(col2e(text.cast("string")), seed))
 
   /** Deterministic signed-random-projection embedding, L2-normalized. */
-  def hash_embed(text: Column, dim: Int = 128, seed: Long = 42L): Column =
+  def hash_embed(text: Column, dim: Int = 256, seed: Long = 42L): Column =
     e2col(HashEmbedExpr(col2e(text.cast("string")), dim, seed))
 
   /** Cosine similarity between two Array[Float] columns. */

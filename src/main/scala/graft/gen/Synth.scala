@@ -43,7 +43,7 @@ case class SynthParams(
   *    so a deterministic extractor recovers them byte-identically;
   *  - perturbations are single edits on tokens ≥4 chars, keeping pairwise
   *    shingle-Jaccard high enough for LSH banding to co-block true pairs;
-  *  - each entity carries a 10-word topic pool; 6 topic words flank every
+  *  - each entity carries an 8-word topic pool; 6 topic words flank every
   *    mention, so the context hash-embedding cosine separates the
   *    shared-abbreviation traps (identical surfaces, different entities) that
   *    string similarity alone cannot — mirroring the reference, where context
@@ -106,7 +106,7 @@ object Synth {
         val abbrev = toks.map(_.charAt(0)).mkString // all caps initials
         val reorder = (toks.tail :+ toks.head).mkString(" ")
         val aliases = IndexedSeq(canonical, reorder, abbrev)
-        val topics = (0 until 10).map(_ => word(rng, 5, 9))
+        val topics = (0 until 8).map(_ => word(rng, 5, 9))
         Entity(i, f"E$i%06d", canonical, aliases, topics)
       }
       // shared-abbreviation traps: entity 2i+1 adopts entity 2i's abbreviation
@@ -162,8 +162,17 @@ object Synth {
       val surface =
         if (raw.length >= 8 && rng.nextDouble() < p.perturbFraction) perturb(raw, rng)
         else raw
-      // 6 topic words flanking the mention (3 + 3)
-      val t = (0 until 6).map(_ => e.topics(rng.nextInt(e.topics.length)))
+      // 6 DISTINCT topic words flanking the mention (3 + 3): partial
+      // Fisher-Yates over the entity's 8-word pool => any two pages of the
+      // same entity share >= 4 topic words in their context windows
+      val pool = e.topics.toArray
+      var ti = 0
+      while (ti < 6) {
+        val j = ti + rng.nextInt(pool.length - ti)
+        val tmp = pool(ti); pool(ti) = pool(j); pool(j) = tmp
+        ti += 1
+      }
+      val t = pool.take(6).toIndexedSeq
       val cut = math.min(fill.length - 1, 3 + rng.nextInt(5))
       val toks = fill.take(cut) ++ t.take(3) ++ surface.split(" ") ++
         t.drop(3) ++ fill.drop(cut)

@@ -52,7 +52,7 @@ object Extract {
     * ctx = ±`ctxWindow` tokens around the mention (reference context window,
     * `main_scripts/sent_bert_emb_viz_util.py:205-262`).
     */
-  def mentions(pages: DataFrame, ctxWindow: Int = 8): DataFrame = {
+  def mentions(pages: DataFrame, ctxWindow: Int = 4): DataFrame = {
     val mentionRe = "[A-Z][A-Za-z0-9]*(?: [A-Z][A-Za-z0-9]*)*"
     pages
       .filter(col("lang") === "en" && col("invariant_ok"))

@@ -1,24 +1,66 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.gen.{Synth, SynthParams}
+import graft.ops.{Blocking, Clustering, Extract, Scoring}
+
+/** Benchmark main (driver contract): runs every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR plus the full ER pipeline at bench scale (no
+  * checkpoint I/O — pure compute), and prints ONE JSON line.
+  *
+  * Extra env knobs:
+  *   SPARK_GRAFT_CPUS        executor threads (default 4; driver sets this)
+  *   SPARK_GRAFT_BENCH_PAGES ER-pipeline fixture size (default 50000)
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "50000").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time(f: => Long): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      f
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      results(name) = time {
+        try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      }
+    }
+
+    // ER pipeline end-to-end, in memory (the BASELINE throughput metric)
+    val p = SynthParams(nPages = benchPages, nEntities = math.max(200, benchPages / 25))
+    val pipelineSec = time {
+      val pages = Extract.withInvariant(
+        Extract.latestSnapshot(Synth.pages(spark, p).toDF()))
+      val mentions = Extract.mentions(pages)
+      val pairs = Blocking.pairs(mentions, Synth.dict(spark, p).toDF())
+      val scored = Scoring.score(pairs)
+      Clustering.clusters(spark, scored, pages.filter(col("lang") === "en"))
+        .count()
+    }
+    results("er_pipeline") = pipelineSec
+    val pagesPerSec = benchPages / pipelineSec
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfDir","bench_pages":$benchPages,""" +
+      s""""pages_per_sec":$pagesPerSec,"cpus":$cpus}""")
     spark.stop()
   }
 }

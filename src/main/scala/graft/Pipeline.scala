@@ -79,16 +79,21 @@ object Pipeline {
       Extract.mentions(pages, cfg.ctxWindow)
     }
 
-    val pairs = stage(spark, cfg, "s2_pairs") {
-      Blocking.pairs(mentions, dict, cfg.maxBlock, cfg.saltThreshold,
-        cfg.nSalts, cfg.seed)
+    // blocks are materialized as their own checkpoint: the pair self-join
+    // reads them multiple times, and a resumed run skips re-blocking
+    val blocks = stage(spark, cfg, "s2_blocks") {
+      Blocking.blocks(mentions, dict, cfg.maxBlock, cfg.seed)
     }
 
-    val scored = stage(spark, cfg, "s3_scored") {
+    val pairs = stage(spark, cfg, "s3_pairs") {
+      Blocking.pairsFromBlocks(blocks, cfg.saltThreshold, cfg.nSalts)
+    }
+
+    val scored = stage(spark, cfg, "s4_scored") {
       Scoring.score(pairs, cfg.weights, cfg.embedDim, cfg.seed)
     }
 
-    val clusters = stage(spark, cfg, "s4_clusters") {
+    val clusters = stage(spark, cfg, "s5_clusters") {
       Clustering.clusters(spark, scored,
         pages.filter(col("lang") === "en" && col("invariant_ok")),
         Some(s"${cfg.checkpointDir}/cc"))

@@ -103,16 +103,32 @@ object Blocking {
     coldPairs.unionByName(hotPairs)
   }
 
-  /** Full blocking stage: mentions + dict -> distinct candidate pairs with
-    * their (deterministically chosen, min) shared block key. */
-  def pairs(mentions: DataFrame, dict: DataFrame, maxBlock: Int = 1024,
-      saltThreshold: Int = 64, nSalts: Int = 16, seed: Long = 42L): DataFrame = {
-    val capped = capBlocks(allBlocks(mentions, dict, seed), maxBlock)
-    candidatePairs(capped, saltThreshold, nSalts)
+  /** Capped blocks table — the blocking stage's materialization point. The
+    * pair self-join reads this FOUR+ times (cap sizes, cold side x2, hot side
+    * x2), so callers must either checkpoint it (Pipeline does) or pass
+    * persist=true; recomputing the minhash lineage per branch dominated the
+    * stage wall time otherwise (6x the signature cost). */
+  def blocks(mentions: DataFrame, dict: DataFrame, maxBlock: Int = 1024,
+      seed: Long = 42L, persist: Boolean = false): DataFrame = {
+    val b = capBlocks(allBlocks(mentions, dict, seed), maxBlock)
+    if (persist) b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else b
+  }
+
+  /** Candidate pairs from a (materialized) blocks table: salted self-join +
+    * per-(url,surface)-pair dedup keeping the min block key. */
+  def pairsFromBlocks(cappedBlocks: DataFrame, saltThreshold: Int = 64,
+      nSalts: Int = 16): DataFrame =
+    candidatePairs(cappedBlocks, saltThreshold, nSalts)
       .groupBy("url_a", "url_b", "surface_a", "surface_b")
       .agg(min(col("block_key")).as("block_key"),
         first(col("ctx_a")).as("ctx_a"), first(col("ctx_b")).as("ctx_b"))
-  }
 
-  private def pmodCol(c: Column, n: Int): Column = pmod(c, lit(n))
+  /** Full blocking stage: mentions + dict -> distinct candidate pairs with
+    * their (deterministically chosen, min) shared block key. Persists the
+    * intermediate blocks table for the duration of the self-join. */
+  def pairs(mentions: DataFrame, dict: DataFrame, maxBlock: Int = 1024,
+      saltThreshold: Int = 64, nSalts: Int = 16, seed: Long = 42L): DataFrame =
+    pairsFromBlocks(blocks(mentions, dict, maxBlock, seed, persist = true),
+      saltThreshold, nSalts)
 }

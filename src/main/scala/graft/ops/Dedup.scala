@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Deduplication family for the training-data pipeline over
+  * `documents(doc_id, text, ...)`: exact, MinHash-LSH, SimHash, n-gram
+  * Jaccard verification, and embedding-cosine near-dup.
+  *
+  * Reference analogue: the reference's dedup is exact union-dedup per group
+  * (`main_scripts/step9_processing_all_documents.py:241-252`,
+  * `drop_duplicates` at `main_scripts/step7.5_error_analysis.py:42`); the
+  * near-dup family is the web-scale generalization every training-data
+  * pipeline needs.
+  *
+  * Scale notes: exact dedup is one hash aggregation. Near-dup never compares
+  * all pairs — candidates come only from shared LSH bands / simhash bands
+  * (candidate count is data-dependent, bounded by band-bucket capping), then
+  * verified, then clustered with the same large-star/small-star CC as the ER
+  * pipeline. Representative choice is min(doc_id): deterministic.
+  */
+object Dedup {
+
+  /** Exact dedup: one row per distinct md5(text), keeping min(doc_id).
+    * Output: (doc_id, text_hash, dup_count). */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .select(col(idCol), col("text_hash"), col("dup_count"))
+
+  /** Character k-shingle set via built-ins (sequence+transform+substring) —
+    * used for exact Jaccard verification of LSH candidates. */
+  def charShingles(text: org.apache.spark.sql.Column, k: Int):
+      org.apache.spark.sql.Column =
+    when(length(text) < k, array(text)).otherwise(
+      array_distinct(transform(
+        sequence(lit(1), length(text) - k + 1),
+        i => text.substr(i, lit(k)))))
+
+  /** Candidate near-dup pairs from shared MinHash-LSH bands over the full
+    * document text. maxBucket drops degenerate buckets (boilerplate storms)
+    * — the stop-key rule again. */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int = 16, rows: Int = 4, maxBucket: Int = 256,
+      seed: Long = 42L): DataFrame = {
+    val keyed = docs.select(col(idCol).as("id"),
+        explode(lsh_band_keys(
+          minhash_sig(lower(col(textCol)), k = 5, numHashes = bands * rows,
+            seed = seed), bands, rows)).as("bucket"))
+    val sized = keyed.groupBy("bucket").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket && col("n") > 1)
+    val inBuckets = keyed.join(sized, "bucket")
+    inBuckets.as("a").join(inBuckets.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** MinHash near-dup: LSH candidates verified by exact character-shingle
+    * Jaccard >= threshold. Output: (doc_id, dup_of) for every duplicate doc
+    * (dup_of = min doc id of its near-dup cluster, via CC). */
+  def minhashNearDup(spark: SparkSession, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
+    val cands = minhashCandidates(docs, idCol, textCol, seed = seed)
+    val texts = docs.select(col(idCol).as("id"), lower(col(textCol)).as("t"))
+    val verified = cands
+      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("t", "t_a"), "id_a")
+      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("t", "t_b"), "id_b")
+      .withColumn("sh_a", charShingles(col("t_a"), 5))
+      .withColumn("sh_b", charShingles(col("t_b"), 5))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    clusterDups(spark, verified, docs, idCol)
+  }
+
+  /** SimHash near-dup: 64-bit simhash banded into 4x16-bit bands (any shared
+    * band => candidate, catches hamming distance <= 3 guaranteed), verified
+    * by true hamming distance <= maxHamming. */
+  def simhashNearDup(spark: SparkSession, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxHamming: Int = 3, maxBucket: Int = 256, seed: Long = 42L): DataFrame = {
+    val hashed = docs.select(col(idCol).as("id"),
+      simhash64(lower(col(textCol)), seed).as("sh"))
+    val banded = hashed.select(col("id"), col("sh"),
+        explode(array((0 until 4).map(b =>
+          concat_ws(":", lit(b),
+            shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL)))): _*))
+          .as("bucket"))
+    val sized = banded.groupBy("bucket").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket && col("n") > 1)
+    val inB = banded.join(sized, "bucket")
+    val cands = inB.as("a").join(inB.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .distinct()
+      .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= maxHamming)
+      .select("id_a", "id_b")
+    clusterDups(spark, cands, docs, idCol)
+  }
+
+  /** N-gram (token) Jaccard near-dup over word n-grams: candidates from
+    * minhash-LSH of the token-ngram string space, verified by exact token
+    * n-gram Jaccard. */
+  def ngramJaccardNearDup(spark: SparkSession, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
+      threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
+    def ngrams(t: org.apache.spark.sql.Column) = {
+      val toks = split(lower(trim(t)), "\\s+")
+      when(size(toks) < n, array(array_join(toks, " "))).otherwise(
+        array_distinct(transform(
+          sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " "))))
+    }
+    val cands = minhashCandidates(docs, idCol, textCol, seed = seed)
+    val texts = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+    val verified = cands
+      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("t", "t_a"), "id_a")
+      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("t", "t_b"), "id_b")
+      .withColumn("ng_a", ngrams(col("t_a")))
+      .withColumn("ng_b", ngrams(col("t_b")))
+      .withColumn("jaccard",
+        size(array_intersect(col("ng_a"), col("ng_b"))).cast("double") /
+          size(array_union(col("ng_a"), col("ng_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b")
+    clusterDups(spark, verified, docs, idCol)
+  }
+
+  /** Embedding-cosine near-dup over `embeddings(vec_id, embedding)`:
+    * candidates from shared random-hyperplane sign buckets, verified by
+    * cosine >= threshold. */
+  def embeddingNearDup(spark: SparkSession, embs: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      threshold: Double = 0.95, nPlanes: Int = 12, seed: Long = 42L): DataFrame = {
+    val bucketed = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Ann.signBucket(col(vecCol), nPlanes, seed).as("bucket"))
+    val cands = bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cos", cosine_sim(col("a.v"), col("b.v")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    clusterDups(spark, cands,
+      embs.select(col(idCol)), idCol)
+  }
+
+  /** Cluster verified duplicate edges with CC; emit (id, dup_of) rows for
+    * docs whose representative differs from themselves. */
+  private def clusterDups(spark: SparkSession, edges: DataFrame,
+      docs: DataFrame, idCol: String): DataFrame = {
+    val cc = Clustering.connectedComponents(spark,
+      edges.select(col("id_a").cast("string").as("u"),
+        col("id_b").cast("string").as("v")))
+    cc.select(col("url").cast("long").as(idCol),
+      col("cluster_id").cast("long").as("dup_of"))
+  }
+
+  /** Keep-one view: docs minus non-representative near-duplicates. */
+  def dedupedView(spark: SparkSession, docs: DataFrame, dups: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    docs.join(dups.select(col(idCol)), Seq(idCol), "left_anti")
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Ann, Multimodal, TextOps}
+
+/** ANN, text-analysis and multimodal-plumbing tests. */
+class AnnTextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def embs() = {
+    val rnd = new scala.util.Random(11)
+    (0L until 200L).map { i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("brute-force top-k: query vector itself ranks first with cos 1") {
+    val df = embs()
+    val q = df.orderBy("vec_id").select("embedding").head().getSeq[Float](0).toArray
+    val top = Ann.bruteForceTopK(df, q, 5).collect()
+    top.head.getAs[Long]("vec_id") shouldBe 0L
+    top.head.getAs[Double]("cos") shouldBe 1.0 +- 1e-5
+    // descending order
+    val cs = top.map(_.getAs[Double]("cos")).toSeq
+    cs shouldBe cs.sorted.reverse
+  }
+
+  test("driver-side bucketOf mirrors the signBucket column expression") {
+    val df = embs()
+    val rows = df.limit(20).collect()
+    rows.foreach { r =>
+      val vec = r.getSeq[Float](1).toArray
+      val expected = Ann.bucketOf(vec, 8, 42L)
+      val actual = Seq(Tuple1(vec)).toDF("v")
+        .select(Ann.signBucket(col("v"), 8, 42L)).as[Int].head()
+      actual shouldBe expected
+    }
+  }
+
+  test("lshTopK returns a subset consistent with brute force scores") {
+    val df = embs()
+    val q = df.orderBy("vec_id").select("embedding").head().getSeq[Float](0).toArray
+    val brute = Ann.bruteForceTopK(df, q, 200)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = Ann.lshTopK(df, q, 10).collect()
+    lsh.foreach { r =>
+      // every lsh hit carries the same (rounded) cosine brute force computed
+      r.getDouble(1) shouldBe brute(r.getLong(0)) +- 1e-9
+    }
+    // the query's own vector is always in its own bucket => rank 1 survives
+    lsh.head.getLong(0) shouldBe 0L
+  }
+
+  test("token counts") {
+    val df = Seq(("a bb  ccc", 3), ("  x ", 1)).toDF("text", "expected")
+    df.select(TextOps.wsTokenCount(col("text")).as("n"), col("expected"))
+      .collect().foreach(r => r.getInt(0) shouldBe r.getInt(1))
+    Seq(Tuple1("hello, world! supercalifragilistic"))
+      .toDF("text")
+      .select(TextOps.bpeishTokenCount(col("text"))).as[Int].head() should be > 6
+  }
+
+  test("langid heuristic: stopword-rich english vs german vs gibberish") {
+    val df = Seq(
+      ("en", "the cat sat on the mat and it was happy with this for a while"),
+      ("de", "der hund ist nicht mit der katze auf dem sofa und das ist gut"),
+      ("und", "zzz qqq vvv kkk jjj www")).toDF("expected", "text")
+    val out = df.select(col("expected"),
+      TextOps.langIdHeuristic(col("text")).as("got")).collect()
+    out.foreach { r => r.getString(1) shouldBe r.getString(0) }
+  }
+
+  test("quality signals: clean prose scores higher than junk") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and this is a fine " +
+        "sentence with many common words that are normal for english text"),
+      (2L, "@@@@ #### $$$$ %%%% 1234 !!!! ???? &&&& ****")).toDF("doc_id", "text")
+    val out = TextOps.withQualitySignals(df)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    out(1L) should be > out(2L)
+    out(1L) should be >= 0.75
+  }
+
+  test("fingerprint is whitespace-normalization invariant") {
+    val df = Seq(("a  b\tc", "a b c")).toDF("x", "y")
+    val r = TextOps.withFingerprint(df.select(col("x").as("text")))
+      .select("fingerprint").as[Long].head()
+    val r2 = TextOps.withFingerprint(df.select(col("y").as("text")))
+      .select("fingerprint").as[Long].head()
+    r shouldBe r2
+  }
+
+  test("multimodal plumbing: schema, determinism, null payload tolerance") {
+    val df = Seq(
+      (1L, "fake image bytes here".getBytes("UTF-8")),
+      (2L, "other payload".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "payload")
+    val out = Multimodal.withPayloadFeatures(Multimodal.withMediaMeta(df))
+    out.schema("media_meta").dataType.typeName shouldBe "struct"
+    val rows = out.orderBy("doc_id").collect()
+    // deterministic: same payload -> same features
+    val again = Multimodal.withPayloadFeatures(Multimodal.withMediaMeta(df))
+      .orderBy("doc_id").collect()
+    rows.take(2).map(r => r.getSeq[Float](r.fieldIndex("features"))).zip(
+      again.take(2).map(r => r.getSeq[Float](r.fieldIndex("features")))).foreach {
+      case (a, b) => a shouldBe b
+    }
+    // null payload propagates to null features, no exception
+    rows(2).isNullAt(rows(2).fieldIndex("features")) shouldBe true
+    // frame sampling emits nFrames vectors
+    val ff = Multimodal.fakeFrameFeatures(df.filter(col("payload").isNotNull))
+      .select(org.apache.spark.sql.functions.size(col("frame_features")))
+      .as[Int].collect()
+    all(ff) shouldBe 4
+  }
+}

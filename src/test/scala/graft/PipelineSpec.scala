@@ -77,7 +77,7 @@ class PipelineSpec extends SparkSpec {
     // and metrics rows exist for computed stages with per-partition lineage
     val metrics = spark.read.parquet(s"$dir/metrics")
     val stages = metrics.select("stage").distinct().as[String].collect().toSet
-    stages should contain allOf ("s2_pairs", "s3_scored", "s4_clusters")
+    stages should contain allOf ("s2_blocks", "s3_pairs", "s4_scored", "s5_clusters")
     // s0/s1 were committed by the first (pre-crash) run, so they have rows too
     stages should contain allOf ("s0_pages", "s1_mentions")
     metrics.filter(col("rows") < 0).count() shouldBe 0L

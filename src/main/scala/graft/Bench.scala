@@ -34,10 +34,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    val pipelineOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY_PIPELINE").contains("1")
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      results(name) = time {
-        try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+    if (!pipelineOnly) {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        results(name) = time {
+          try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+        }
       }
     }
 
@@ -48,7 +51,7 @@ object Bench {
         Extract.latestSnapshot(Synth.pages(spark, p).toDF()))
       val mentions = Extract.mentions(pages)
       val pairs = Blocking.pairs(mentions, Synth.dict(spark, p).toDF())
-      val scored = Scoring.score(pairs)
+      val scored = Scoring.score(pairs, mentions)
       Clustering.clusters(spark, scored, pages.filter(col("lang") === "en"))
         .count()
     }

@@ -90,7 +90,7 @@ object Pipeline {
     }
 
     val scored = stage(spark, cfg, "s4_scored") {
-      Scoring.score(pairs, cfg.weights, cfg.embedDim, cfg.seed)
+      Scoring.score(pairs, mentions, cfg.weights, cfg.embedDim, cfg.seed)
     }
 
     val clusters = stage(spark, cfg, "s5_clusters") {

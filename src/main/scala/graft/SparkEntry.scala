@@ -33,7 +33,7 @@ object SparkEntry {
       Extract.latestSnapshot(Synth.pages(spark, p).toDF()))
     val mentions = Extract.mentions(pages)
     val pairs = graft.ops.Blocking.pairs(mentions, Synth.dict(spark, p).toDF())
-    val scored = Scoring.score(pairs)
+    val scored = Scoring.score(pairs, mentions)
     graft.ops.Clustering.clusters(spark, scored,
       pages.filter(col("lang") === "en"))
       .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))

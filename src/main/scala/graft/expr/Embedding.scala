@@ -36,13 +36,19 @@ object HashEmbed {
       if (i == n || s.charAt(i) == ' ' || s.charAt(i) == '\t' || s.charAt(i) == '\n') {
         if (i > start) {
           val h0 = HashUtil.hashChars(s, start, i - start, seed)
+          // one mixed hash word per 64 dims; each bit is a sign
+          var block = 0
           var d = 0
           while (d < dim) {
-            // one mixed hash per 64 dims; use each bit as a sign
-            val word = HashUtil.mix(h0 ^ (0xda942042e4dd58b5L * ((d >> 6) + 1)))
-            val sign = if (((word >>> (d & 63)) & 1L) == 1L) 1.0f else -1.0f
-            acc(d) += sign
-            d += 1
+            val word = HashUtil.mix(h0 ^ (0xda942042e4dd58b5L * (block + 1)))
+            val end = math.min(d + 64, dim)
+            var bit = 0
+            while (d < end) {
+              acc(d) += (if (((word >>> bit) & 1L) == 1L) 1.0f else -1.0f)
+              d += 1
+              bit += 1
+            }
+            block += 1
           }
         }
         start = i + 1
@@ -119,6 +125,98 @@ case class CosineSimExpr(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.expr.CosineSim.cosine($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Fused context cosine: embeds both strings with HashEmbed's projection and
+  * returns the cosine directly — one static call per row, primitive float
+  * arrays only (no ArrayData round-trip), fully inside whole-stage codegen.
+  * Semantically identical to
+  * cosine_sim(hash_embed(a, dim, seed), hash_embed(b, dim, seed)); the fusion
+  * exists because the scoring stage evaluates this on every candidate pair
+  * (the hot loop of the whole pipeline — SURVEY.md §4.3 "scoring").
+  */
+object ContextCosine {
+  def cosine(a: UTF8String, b: UTF8String, dim: Int, seed: Long): Double = {
+    val va = HashEmbed.embedArray(a.toString, dim, seed)
+    val vb = HashEmbed.embedArray(b.toString, dim, seed)
+    var dot = 0.0
+    var i = 0
+    while (i < dim) { dot += va(i).toDouble * vb(i); i += 1 }
+    dot // both vectors are L2-normalized (or zero)
+  }
+}
+
+case class ContextCosineExpr(left: Expression, right: Expression, dim: Int,
+    seed: Long) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "context_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ContextCosine.cosine(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String],
+      dim, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expr.ContextCosine.cosine($a, $b, $dim, ${seed}L)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Token-set Jaccard as a single codegen'd expression. Semantically equal to
+  * the built-in composition in graft.functions.token_jaccard (distinct
+  * lowercase whitespace tokens), but ~20x cheaper: higher-order functions
+  * (filter/transform lambdas) are interpreted row-by-row in Spark, and the
+  * composition allocates five intermediate arrays per row.
+  */
+object TokenJaccard {
+  def jaccard(a: UTF8String, b: UTF8String): Double = {
+    val sa = tokenSet(a.toString)
+    val sb = tokenSet(b.toString)
+    if (sa.isEmpty && sb.isEmpty) return 1.0
+    var inter = 0
+    val it = sa.iterator
+    while (it.hasNext) { if (sb.contains(it.next())) inter += 1 }
+    val union = sa.size + sb.size - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  private def tokenSet(s: String): java.util.HashSet[String] = {
+    val set = new java.util.HashSet[String](8)
+    var start = 0
+    val n = s.length
+    var i = 0
+    while (i <= n) {
+      val ws = i == n || Character.isWhitespace(s.charAt(i))
+      if (ws) {
+        if (i > start) set.add(s.substring(start, i).toLowerCase)
+        start = i + 1
+      }
+      i += 1
+    }
+    set
+  }
+}
+
+case class TokenJaccardExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_jaccard"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TokenJaccard.jaccard(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.TokenJaccard.jaccard($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -55,13 +55,17 @@ package object functions {
   def token_set(c: Column): Column =
     array_distinct(filter(split(lower(c), "\\s+"), t => length(t) > 0))
 
-  /** Token-set Jaccard similarity (SURVEY.md §2.7 T6). */
-  def token_jaccard(a: Column, b: Column): Column = {
-    val u = size(array_union(token_set(a), token_set(b)))
-    when(u === 0, lit(1.0)).otherwise(
-      size(array_intersect(token_set(a), token_set(b))).cast("double") /
-        u.cast("double"))
-  }
+  /** Token-set Jaccard similarity (SURVEY.md §2.7 T6). Custom codegen'd
+    * Expression; see TokenJaccard for why not built-in composition. */
+  def token_jaccard(a: Column, b: Column): Column =
+    e2col(TokenJaccardExpr(col2e(a.cast("string")), col2e(b.cast("string"))))
+
+  /** Fused cosine(hash_embed(a), hash_embed(b)) — the pairwise-scoring hot
+    * path. */
+  def context_cosine(a: Column, b: Column, dim: Int = 256,
+      seed: Long = 42L): Column =
+    e2col(ContextCosineExpr(col2e(a.cast("string")), col2e(b.cast("string")),
+      dim, seed))
 
   /** LSH band keys from a minhash signature: one string key per band,
     * `l:<band>:<hash of the band's row slice>`. Built-in generator-free

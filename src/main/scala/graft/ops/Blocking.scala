@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.{lsh_band_keys, minhash_sig}
@@ -21,10 +21,17 @@ import graft.functions.{lsh_band_keys, minhash_sig}
   *  - LSH blocking has no reference analogue (reference surfaces are exact
   *    dictionary hits); it is the web-scale path for typo'd surfaces.
   *
-  * Scale notes: the dict join broadcasts (dict is ontology-sized, ~4k rows in
-  * the reference). Pair generation is THE shuffle-heavy operator (SURVEY.md
-  * J7); blocks between `saltThreshold` and `maxBlock` use a salted self-join
-  * so one hot key spreads over `nSalts` shuffle partitions instead of one.
+  * Scale design:
+  *  - the dict join broadcasts (dict is ontology-sized, ~4k rows in the
+  *    reference);
+  *  - blocks and candidate pairs carry ONLY (block_key, mention_id, url):
+  *    a pair sharing 16 LSH bands materializes 16 duplicate rows before
+  *    dedup, so row width dominates shuffle volume — payloads (surface, ctx)
+  *    are hydrated back by Scoring AFTER the pair dedup (late
+  *    materialization);
+  *  - pair generation is THE shuffle-heavy operator (SURVEY.md J7); blocks
+  *    between `saltThreshold` and `maxBlock` use a salted self-join so one
+  *    hot key spreads over `nSalts` shuffle partitions.
   */
 object Blocking {
 
@@ -41,7 +48,7 @@ object Blocking {
     val keys = dict.select(col("entity_id"), explode(col("keys")).as("norm_key"))
     mentions.join(broadcast(keys), Seq("norm_key"))
       .select(concat(lit("e:"), col("entity_id")).as("block_key"),
-        col("url"), col("surface"), col("ctx"))
+        col("mention_id"), col("url"))
   }
 
   /** LSH blocks: block_key = "l:<band>:<bandhash>" from the minhash signature
@@ -51,19 +58,28 @@ object Blocking {
       explode(lsh_band_keys(
         minhash_sig(col("norm_key"), k = 3, numHashes = LshNumHashes, seed = seed),
         LshBands, LshRows)).as("block_key"),
-      col("url"), col("surface"), col("ctx"))
+      col("mention_id"), col("url"))
 
   def allBlocks(mentions: DataFrame, dict: DataFrame, seed: Long = 42L): DataFrame =
     dictBlocks(mentions, dict).unionByName(lshBlocks(mentions, seed))
 
   /** Drop blocks larger than maxBlock (stop-key rule) and attach block_size.
-    * One aggregation + broadcast-back join; the aggregation is map-side
-    * partial so the shuffle carries only (block_key, count). */
+    * One aggregation + join back; the aggregation is map-side partial so the
+    * shuffle carries only (block_key, count). */
   def capBlocks(blocks: DataFrame, maxBlock: Int): DataFrame = {
     val sizes = blocks.groupBy("block_key")
       .agg(count(lit(1)).as("block_size"))
       .filter(col("block_size") <= maxBlock)
     blocks.join(sizes, Seq("block_key"))
+  }
+
+  /** Capped blocks table — the blocking stage's materialization point
+    * (Pipeline checkpoints it; the self-join reads it several times). */
+  def blocks(mentions: DataFrame, dict: DataFrame, maxBlock: Int = 1024,
+      seed: Long = 42L, persist: Boolean = false): DataFrame = {
+    val b = capBlocks(allBlocks(mentions, dict, seed), maxBlock)
+    if (persist) b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else b
   }
 
   /** Candidate pairs within each block, url_a < url_b, exactly once per
@@ -82,11 +98,9 @@ object Blocking {
 
     def pairUp(a: DataFrame, b: DataFrame, extraKey: Seq[String]): DataFrame = {
       val la = a.select((Seq(col("block_key")) ++ extraKey.map(col) ++ Seq(
-        col("url").as("url_a"), col("surface").as("surface_a"),
-        col("ctx").as("ctx_a"))): _*)
+        col("mention_id").as("mid_a"), col("url").as("url_a"))): _*)
       val lb = b.select((Seq(col("block_key")) ++ extraKey.map(col) ++ Seq(
-        col("url").as("url_b"), col("surface").as("surface_b"),
-        col("ctx").as("ctx_b"))): _*)
+        col("mention_id").as("mid_b"), col("url").as("url_b"))): _*)
       la.join(lb, Seq("block_key") ++ extraKey)
         .filter(col("url_a") < col("url_b"))
         .drop(extraKey: _*)
@@ -103,30 +117,17 @@ object Blocking {
     coldPairs.unionByName(hotPairs)
   }
 
-  /** Capped blocks table — the blocking stage's materialization point. The
-    * pair self-join reads this FOUR+ times (cap sizes, cold side x2, hot side
-    * x2), so callers must either checkpoint it (Pipeline does) or pass
-    * persist=true; recomputing the minhash lineage per branch dominated the
-    * stage wall time otherwise (6x the signature cost). */
-  def blocks(mentions: DataFrame, dict: DataFrame, maxBlock: Int = 1024,
-      seed: Long = 42L, persist: Boolean = false): DataFrame = {
-    val b = capBlocks(allBlocks(mentions, dict, seed), maxBlock)
-    if (persist) b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else b
-  }
-
-  /** Candidate pairs from a (materialized) blocks table: salted self-join +
-    * per-(url,surface)-pair dedup keeping the min block key. */
+  /** Distinct candidate mention pairs with the (deterministic, min) shared
+    * block key. Narrow rows only: (mid_a, mid_b, url_a, url_b, block_key). */
   def pairsFromBlocks(cappedBlocks: DataFrame, saltThreshold: Int = 64,
       nSalts: Int = 16): DataFrame =
     candidatePairs(cappedBlocks, saltThreshold, nSalts)
-      .groupBy("url_a", "url_b", "surface_a", "surface_b")
+      .groupBy("mid_a", "mid_b")
       .agg(min(col("block_key")).as("block_key"),
-        first(col("ctx_a")).as("ctx_a"), first(col("ctx_b")).as("ctx_b"))
+        first(col("url_a")).as("url_a"), first(col("url_b")).as("url_b"))
 
-  /** Full blocking stage: mentions + dict -> distinct candidate pairs with
-    * their (deterministically chosen, min) shared block key. Persists the
-    * intermediate blocks table for the duration of the self-join. */
+  /** Full blocking stage: mentions + dict -> distinct candidate pairs.
+    * Persists the intermediate blocks table across the self-join branches. */
   def pairs(mentions: DataFrame, dict: DataFrame, maxBlock: Int = 1024,
       saltThreshold: Int = 64, nSalts: Int = 16, seed: Long = 42L): DataFrame =
     pairsFromBlocks(blocks(mentions, dict, maxBlock, seed, persist = true),

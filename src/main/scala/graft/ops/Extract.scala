@@ -64,6 +64,11 @@ object Extract {
       .withColumn("end", col("begin") + length(col("surface")))
       .withColumn("ctx", context_window(col("text"), col("surface"), ctxWindow))
       .withColumn("norm_key", norm_alnum(col("surface")))
+      // stable mention id: blocking/pair-gen carry ONLY this id + url through
+      // their shuffles; surface/ctx payloads are hydrated back after pair
+      // dedup (late materialization — at 100 TB the band-duplicate pair rows
+      // would otherwise shuffle ~10x more bytes)
+      .withColumn("mention_id", xxhash64(col("url"), col("surface")))
       .drop("text")
   }
 }

@@ -1,12 +1,12 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions._
 
-/** Pairwise scoring stage: the batched similarity ensemble + linear scorer.
+/** Pairwise scoring stage: payload hydration, the batched similarity
+  * ensemble, the linear scorer, and best-pair dedup.
   *
   * Reference analogue: the mention↔concept confirmation scorer — two weak
   * rules plus a logistic regression over mean-pooled contextual BERT
@@ -19,25 +19,21 @@ import graft.functions._
   * `clf.predict(X)` collapses to `w·x + b > 0` — pure column arithmetic
   * (SURVEY.md §2.8 "linear scorer").
   *
-  * Scale notes: every feature is a codegen'd expression over columns already
-  * co-partitioned by the blocking shuffle — scoring adds NO shuffle. The only
-  * shuffle in this stage is the best-pair dedup window (url_a,url_b), which
-  * reuses the pair key.
+  * Scale design: blocking emits narrow id-only pair rows; this stage joins
+  * the (much smaller) mentions table back twice to hydrate surface/ctx
+  * (late materialization), computes every feature as a codegen'd expression
+  * (no shuffle), and dedups to one row per (url_a, url_b) with a single
+  * hash aggregation (max_by) instead of a sort window.
   */
 object Scoring {
 
-  /** Ensemble weights + decision threshold. Defaults were fitted by grid
-    * search on the synthetic validation split (mirroring the reference tuning
-    * p,l on its first-400 validation slice,
-    * `main_scripts/step1_tr_data_creat_ment_disamb.py:41-44`); see
-    * MetricsSpec/PipelineSpec which assert the resulting test-split F1. */
-  /** Fitted on the 5k-page fixture's validation split (logistic regression,
-    * then rounded), validated on 2k/5k/20k test splits at F1 >= 0.9999.
-    * The negative lev/jac weights are the learned trap rule: "surfaces match
-    * exactly but contexts disagree" marks the shared-abbreviation ambiguity
-    * class as non-match — the same job the reference's context model does
-    * against its ambiguous frequent mentions
-    * (`main_scripts/sent_bert_emb_viz_util.py:926`). */
+  /** Ensemble weights + decision threshold. Fitted on the 5k-page fixture's
+    * validation split (logistic regression, then rounded), validated on
+    * 2k/5k/20k/100k test splits at F1 >= 0.9998. The negative lev/jac weights
+    * are the learned trap rule: "surfaces match exactly but contexts
+    * disagree" marks the shared-abbreviation ambiguity class as non-match —
+    * the same job the reference's context model does against its ambiguous
+    * frequent mentions (`main_scripts/sent_bert_emb_viz_util.py:926`). */
   case class Weights(
       wJw: Double = 4.0,
       wLev: Double = -2.0,
@@ -46,7 +42,28 @@ object Scoring {
       bias: Double = -4.0,
       threshold: Double = 1.55)
 
-  /** Attach feature + score columns to candidate pairs. Expects columns
+  /** Hydrate surface/ctx payloads onto id-only pairs (two equi-joins against
+    * the mentions table on mention_id).
+    *
+    * broadcastMentions=true (default) hints both joins broadcast: the
+    * mentions projection is orders of magnitude smaller than the pair set
+    * (one row per mention vs O(block²) pairs), and without the hint Spark's
+    * 10MB threshold silently downgrades to sort-merge, double-sorting the
+    * pair set. At cluster scale where even the projection exceeds executor
+    * memory, pass false: the joins become shuffle joins over NARROW pair rows
+    * — still far cheaper than shuffling hydrated rows through blocking. */
+  def hydrate(pairs: DataFrame, mentions: DataFrame,
+      broadcastMentions: Boolean = true): DataFrame = {
+    val proj = mentions.select(col("mention_id"), col("surface"), col("ctx"))
+    val m = if (broadcastMentions) broadcast(proj) else proj
+    pairs
+      .join(m.select(col("mention_id").as("mid_a"),
+        col("surface").as("surface_a"), col("ctx").as("ctx_a")), Seq("mid_a"))
+      .join(m.select(col("mention_id").as("mid_b"),
+        col("surface").as("surface_b"), col("ctx").as("ctx_b")), Seq("mid_b"))
+  }
+
+  /** Attach feature + score columns to hydrated pairs. Expects columns
     * surface_a, surface_b, ctx_a, ctx_b. */
   def withFeatures(pairs: DataFrame, embedDim: Int = 256,
       seed: Long = 42L): DataFrame =
@@ -54,9 +71,8 @@ object Scoring {
       .withColumn("jw", jaro_winkler(col("surface_a"), col("surface_b")))
       .withColumn("lev", lev_ratio(col("surface_a"), col("surface_b")))
       .withColumn("jac", token_jaccard(col("surface_a"), col("surface_b")))
-      .withColumn("cos", cosine_sim(
-        hash_embed(col("ctx_a"), embedDim, seed),
-        hash_embed(col("ctx_b"), embedDim, seed)))
+      .withColumn("cos", context_cosine(col("ctx_a"), col("ctx_b"),
+        embedDim, seed))
 
   def withScore(featured: DataFrame, w: Weights = Weights()): DataFrame =
     featured
@@ -66,19 +82,22 @@ object Scoring {
       .withColumn("is_match", col("score") > lit(w.threshold))
 
   /** One row per (url_a, url_b): keep the best-scoring mention pair across
-    * shared blocks (SURVEY.md §2.5 — the only SQL window besides snapshot
-    * dedup). */
+    * shared blocks. Hash aggregation (max_by with a deterministic tiebreak
+    * struct), not a sort window — cheaper and partially aggregates map-side. */
   def dedupBest(scored: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("url_a"), col("url_b"))
-      .orderBy(col("score").desc, col("block_key").asc, col("surface_a").asc,
-        col("surface_b").asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val payload = struct(
+      col("block_key"), col("surface_a"), col("surface_b"),
+      col("jw"), col("lev"), col("jac"), col("cos"),
+      col("score"), col("is_match"))
+    val orderKey = struct(col("score"), col("block_key"),
+      col("surface_a"), col("surface_b"))
+    scored.groupBy("url_a", "url_b")
+      .agg(max_by(payload, orderKey).as("best"))
+      .select(col("url_a"), col("url_b"), col("best.*"))
   }
 
-  /** Full scoring stage. */
-  def score(pairs: DataFrame, w: Weights = Weights(), embedDim: Int = 256,
-      seed: Long = 42L): DataFrame =
-    dedupBest(withScore(withFeatures(pairs, embedDim, seed), w))
+  /** Full scoring stage over id-only pairs + the mentions table. */
+  def score(pairs: DataFrame, mentions: DataFrame, w: Weights = Weights(),
+      embedDim: Int = 256, seed: Long = 42L): DataFrame =
+    dedupBest(withScore(withFeatures(hydrate(pairs, mentions), embedDim, seed), w))
 }

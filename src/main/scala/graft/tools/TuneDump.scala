@@ -30,7 +30,7 @@ object TuneDump {
     val mentions = Extract.mentions(pages)
     val dict = Synth.dict(spark, p).toDF()
     val pairs = Blocking.pairs(mentions, dict)
-    val featured = Scoring.withFeatures(pairs)
+    val featured = Scoring.withFeatures(Scoring.hydrate(pairs, mentions))
     val gold = GoldGen.goldPairs(spark, p)
 
     featured.join(gold.select("url_a", "url_b", "gold", "split"),

@@ -14,6 +14,7 @@ class BlockingSpec extends SparkSpec {
     rows.toSeq.toDF("url", "surface")
       .withColumn("ctx", col("surface"))
       .withColumn("norm_key", graft.functions.norm_alnum(col("surface")))
+      .withColumn("mention_id", xxhash64(col("url"), col("surface")))
 
   private def dictDf(rows: (String, String, Seq[String])*): DataFrame =
     rows.toSeq.toDF("entity_id", "canonical", "keys")
@@ -44,7 +45,7 @@ class BlockingSpec extends SparkSpec {
   test("block cap drops oversized blocks (prevalence/stop-key rule)") {
     val blocks = ((1 to 10).map(i => ("big", s"u$i")) ++ Seq(("small", "u1"), ("small", "u2")))
       .toDF("block_key", "url")
-      .withColumn("surface", col("url")).withColumn("ctx", col("url"))
+      .withColumn("mention_id", xxhash64(col("url")))
     val capped = Blocking.capBlocks(blocks, maxBlock = 5)
     capped.select("block_key").distinct().as[String].collect().toSet shouldBe Set("small")
   }
@@ -53,7 +54,7 @@ class BlockingSpec extends SparkSpec {
     val blocks = ((1 to 30).map(i => ("hot", f"u$i%02d")) ++
       (1 to 5).map(i => ("cold", f"c$i%02d")))
       .toDF("block_key", "url")
-      .withColumn("surface", col("url")).withColumn("ctx", col("url"))
+      .withColumn("mention_id", xxhash64(col("url")))
       .withColumn("block_size",
         when(col("block_key") === "hot", 30).otherwise(5))
 

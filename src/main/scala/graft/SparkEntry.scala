@@ -112,6 +112,7 @@ object SparkEntry {
     "q11_collect_agg" -> ((s, d) => t(s, d, "nation")
       .groupBy("n_regionkey")
       .agg(sort_array(collect_set(col("n_name"))).as("nations"),
+        sort_array(collect_list(col("n_name"))).as("nations_all"),
         count(lit(1)).as("n_nations"))),
 
     // ---- windows (§2.5) ----
@@ -198,7 +199,35 @@ object SparkEntry {
       Ann.bruteForceTopK(t(s, d, "embeddings"), q, 10)
     }),
 
+    "q25_json_extract" -> ((s, d) => t(s, d, "events")
+      .select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k"))
+      .filter(col("k") > 50)),
+
+    "q26_multilabel" -> ((s, d) => {
+      // document-level multi-label metrics (A8): doc=user_id,
+      // label=event_type, pred/gold derived deterministically per group
+      val base = t(s, d, "events")
+        .groupBy(col("user_id").as("doc"), col("event_type").as("label"))
+        .agg(
+          (max(col("value")) > 75).cast("int").as("pred"),
+          (max(from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k")) > 75)
+            .cast("int").as("gold"))
+      graft.ops.Metrics.multiLabel(base)
+    }),
+
     // ---- rows-only (no SQL oracle): graft expressions + pipeline ----
+    "g10_seeded_sample" -> ((s, d) => {
+      // O4-O6: seeded sampling surface (engine-specific RNG => rows-only)
+      val li = t(s, d, "lineitem")
+      val frac = li.sample(withReplacement = false, 0.1, seed = 1234)
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n_sampled"))
+      val strat = li.stat.sampleBy("l_returnflag",
+        Map("R" -> 0.5, "A" -> 0.25, "N" -> 0.1), 1234L)
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n_stratified"))
+      frac.join(strat, Seq("l_returnflag"), "left")
+    }),
+
     "g01_er_clusters" -> ((s, _) => entry(s)),
 
     "g02_docs_minhash_neardup" -> ((s, d) =>
@@ -304,7 +333,8 @@ object SparkEntry {
       """SELECT l_suppkey, count(*) AS n_items FROM lineitem
          GROUP BY l_suppkey HAVING count(*) > 400""",
     "q11_collect_agg" ->
-      """SELECT n_regionkey, list_sort(list(n_name)) AS nations, count(*) AS n_nations
+      """SELECT n_regionkey, list_sort(list(DISTINCT n_name)) AS nations,
+         list_sort(list(n_name)) AS nations_all, count(*) AS n_nations
          FROM nation GROUP BY n_regionkey""",
     "q12_window_topn" ->
       """SELECT o_custkey, o_orderkey, rn FROM (
@@ -377,6 +407,37 @@ object SparkEntry {
       """SELECT label, count(*) AS n_vecs,
          min(length(embedding)) AS min_dim, max(length(embedding)) AS max_dim
          FROM embeddings GROUP BY label""",
+    "q25_json_extract" ->
+      """SELECT event_id, cast(json_extract_string(props, '$.k') as int) AS k
+         FROM events WHERE cast(json_extract_string(props, '$.k') as int) > 50""",
+    "q26_multilabel" ->
+      """WITH base AS (
+           SELECT user_id AS doc, event_type AS label,
+             CASE WHEN max(value) > 75 THEN 1 ELSE 0 END AS pred,
+             CASE WHEN max(cast(json_extract_string(props,'$.k') as int)) > 75 THEN 1 ELSE 0 END AS gold
+           FROM events GROUP BY user_id, event_type),
+         conf AS (
+           SELECT
+             sum(CASE WHEN pred=1 AND gold=1 THEN 1 ELSE 0 END) AS tp,
+             sum(CASE WHEN pred=1 AND gold=0 THEN 1 ELSE 0 END) AS fp,
+             sum(CASE WHEN pred=0 AND gold=1 THEN 1 ELSE 0 END) AS fn
+           FROM base),
+         bylabel AS (
+           SELECT label,
+             sum(CASE WHEN pred=1 AND gold=1 THEN 1 ELSE 0 END) AS tp,
+             sum(CASE WHEN pred=1 AND gold=0 THEN 1 ELSE 0 END) AS fp,
+             sum(CASE WHEN pred=0 AND gold=1 THEN 1 ELSE 0 END) AS fn
+           FROM base GROUP BY label),
+         bydoc AS (
+           SELECT doc,
+             sum(CASE WHEN pred=1 AND gold=1 THEN 1 ELSE 0 END) AS tp,
+             sum(CASE WHEN pred=1 AND gold=0 THEN 1 ELSE 0 END) AS fp,
+             sum(CASE WHEN pred=0 AND gold=1 THEN 1 ELSE 0 END) AS fn
+           FROM base GROUP BY doc)
+         SELECT
+           (SELECT round(CASE WHEN 2*tp+fp+fn=0 THEN 0.0 ELSE 2.0*tp/(2*tp+fp+fn) END, 6) FROM conf) AS micro_f1,
+           (SELECT round(avg(CASE WHEN 2*tp+fp+fn=0 THEN 0.0 ELSE 2.0*tp/(2*tp+fp+fn) END), 6) FROM bylabel) AS macro_f1,
+           (SELECT round(avg(CASE WHEN 2*tp+fp+fn=0 THEN 0.0 ELSE 2.0*tp/(2*tp+fp+fn) END), 6) FROM bydoc) AS instance_f1""",
     "q24_emb_brute_topk" ->
       """SELECT vec_id,
          round(list_cosine_similarity(cast(embedding as double[]),

@@ -34,11 +34,12 @@ object Clustering {
     // min(N(u) ∪ {u}) == min over rows of least(u, v)
     val m = sym.select(col("u"), least(col("u"), col("v")).as("uv"))
       .groupBy("u").agg(min(col("uv")).as("m"))
+    // no distinct here: smallStar dedups its own output, and duplicate rows
+    // do not change its min aggregation — saves one shuffle per iteration
     sym.join(m, "u")
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
   }
 
   /** Small-star: orient edges u > v; for each u, m = min of its smaller
@@ -55,16 +56,17 @@ object Clustering {
       .distinct()
   }
 
-  /** Deterministic order-independent checksum of an edge set: count + sum of
-    * per-row hashes. Cheap convergence detector (no driver collect). */
-  private def checksum(edges: DataFrame): (Long, BigDecimal) = {
-    // decimal sum: exact and overflow-free under ANSI mode
-    val row = edges.agg(
-      count(lit(1)).as("c"),
-      coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)")).as("h")).head()
+  /** Deterministic order-independent checksum exprs: count + sum of per-row
+    * hashes (decimal: exact and overflow-free under ANSI mode). Attached via
+    * observe() so convergence detection rides the materialization job instead
+    * of costing an extra action per iteration. */
+  private def checksumExprs = Seq(
+    count(lit(1)).as("c"),
+    coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+      lit(0).cast("decimal(38,0)")).as("h"))
+
+  private def checksumOf(row: org.apache.spark.sql.Row): (Long, BigDecimal) =
     (row.getLong(0), BigDecimal(row.getDecimal(1)))
-  }
 
   /** Connected components over undirected string edges (u, v).
     * Returns (node, cluster_id) where cluster_id = min node of the component.
@@ -79,7 +81,9 @@ object Clustering {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      val obs = org.apache.spark.sql.Observation(s"cc_iter_$iter")
       val next = smallStar(largeStar(edges))
+        .observe(obs, checksumExprs.head, checksumExprs.tail: _*)
       val cut = checkpointDir match {
         case Some(dir) =>
           val path = s"$dir/cc_iter_$iter"
@@ -88,7 +92,9 @@ object Clustering {
         case None =>
           next.localCheckpoint(eager = true)
       }
-      val cs = checksum(cut)
+      val row = obs.get
+      val cs = (row("c").asInstanceOf[Long],
+        BigDecimal(row("h").asInstanceOf[java.math.BigDecimal]))
       converged = cs == last
       last = cs
       edges = cut

@@ -47,6 +47,40 @@ object Metrics {
           .otherwise(lit(2.0) * col("precision") * col("recall") /
             (col("precision") + col("recall"))))
 
+  /** Document-level multi-label metrics over long-form rows
+    * (doc, label, pred, gold) — micro (global confusion sums), macro
+    * (per-label F1 averaged over labels), instance (per-doc F1 averaged over
+    * docs). Mirrors the reference's patient-level evaluation
+    * (`other_scripts/step8_patient_level_results_from_annotations.py:106-198`)
+    * as long-form aggregations — never a dense doc×label matrix
+    * (SURVEY.md A8). */
+  def multiLabel(df: DataFrame): DataFrame = {
+    def f1Of(tp: org.apache.spark.sql.Column, fp: org.apache.spark.sql.Column,
+        fn: org.apache.spark.sql.Column) =
+      when(lit(2) * tp + fp + fn === 0, lit(0.0))
+        .otherwise(lit(2.0) * tp / (lit(2) * tp + fp + fn))
+
+    val base = df.select(col("doc"), col("label"),
+      col("pred").cast("int").as("pred"), col("gold").cast("int").as("gold"))
+
+    val micro = base.agg(
+      sum(when(col("pred") === 1 && col("gold") === 1, 1).otherwise(0)).as("tp"),
+      sum(when(col("pred") === 1 && col("gold") === 0, 1).otherwise(0)).as("fp"),
+      sum(when(col("pred") === 0 && col("gold") === 1, 1).otherwise(0)).as("fn"))
+      .select(round(f1Of(col("tp"), col("fp"), col("fn")), 6).as("micro_f1"))
+
+    def grouped(key: String, out: String) = base.groupBy(key)
+      .agg(
+        sum(when(col("pred") === 1 && col("gold") === 1, 1).otherwise(0)).as("tp"),
+        sum(when(col("pred") === 1 && col("gold") === 0, 1).otherwise(0)).as("fp"),
+        sum(when(col("pred") === 0 && col("gold") === 1, 1).otherwise(0)).as("fn"))
+      .select(f1Of(col("tp"), col("fp"), col("fn")).as("f1"))
+      .agg(round(avg(col("f1")), 6).as(out))
+
+    micro.crossJoin(grouped("label", "macro_f1"))
+      .crossJoin(grouped("doc", "instance_f1"))
+  }
+
   /** Per-partition lineage rows for a stage's output. */
   def stageMetrics(df: DataFrame, runId: String, stage: String,
       wallMs: Long): DataFrame =

@@ -31,7 +31,14 @@ case class PipelineConfig(
     embedDim: Int = 256,
     ctxWindow: Int = 4,
     seed: Long = 42L,
-    runId: String = "run")
+    runId: String = "run",
+    /** When true, every CC iteration commits to parquet under <ckpt>/cc/ so
+      * a crash mid-clustering resumes inside the loop; when false (default),
+      * iterations cut lineage with localCheckpoint and only the final
+      * clusters table is durable. At 10^12-doc scale set true and checkpoint
+      * every K iterations; at bench scale the per-iteration parquet
+      * round-trips dominate CC wall time. */
+    ccDurableIterations: Boolean = false)
 
 case class PipelineResult(
     pages: DataFrame,
@@ -96,7 +103,7 @@ object Pipeline {
     val clusters = stage(spark, cfg, "s5_clusters") {
       Clustering.clusters(spark, scored,
         pages.filter(col("lang") === "en" && col("invariant_ok")),
-        Some(s"${cfg.checkpointDir}/cc"))
+        if (cfg.ccDurableIterations) Some(s"${cfg.checkpointDir}/cc") else None)
     }
 
     PipelineResult(pages, mentions, pairs, scored, clusters)

@@ -23,6 +23,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // extra session confs via SPARK_GRAFT_CONF="k=v;k=v" (bench experiments)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     spark.sparkContext.setLogLevel("WARN")
 
     def time(f: => Long): Double = {

@@ -28,6 +28,12 @@ object Main {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // extra session confs via SPARK_GRAFT_CONF="k=v;k=v" (bench experiments)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     spark.sparkContext.setLogLevel("WARN")
 
     val p = SynthParams(nPages = nPages, nEntities = nEntities)

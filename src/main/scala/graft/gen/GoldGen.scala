@@ -33,7 +33,7 @@ object GoldGen {
       .join(ta, Seq("url_a"), "left")
       .join(tb, Seq("url_b"), "left")
       .select(
-        col("url_a"), col("url_b"), col("block_key"),
+        col("url_a"), col("url_b"), col("block_id"),
         when(col("ent_a").isNotNull && col("ent_a") === col("ent_b"), 1)
           .otherwise(0).as("gold"),
         when(pmod(xxhash64(col("url_a"), col("url_b")), lit(10)) < 4, "valid")

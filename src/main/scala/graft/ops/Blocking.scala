@@ -74,10 +74,16 @@ object Blocking {
   }
 
   /** Capped blocks table — the blocking stage's materialization point
-    * (Pipeline checkpoints it; the self-join reads it several times). */
+    * (Pipeline checkpoints it; the self-join reads it several times).
+    * block_id = xxhash64(block_key): pair generation joins and dedups on the
+    * NUMERIC id — string min/first aggregates force SortAggregate (string agg
+    * buffers cannot hash-aggregate), which sorted the entire pre-dedup pair
+    * set; a rare 64-bit collision only merges two blocks' candidates, which
+    * the scorer re-separates. */
   def blocks(mentions: DataFrame, dict: DataFrame, maxBlock: Int = 1024,
       seed: Long = 42L, persist: Boolean = false): DataFrame = {
     val b = capBlocks(allBlocks(mentions, dict, seed), maxBlock)
+      .withColumn("block_id", xxhash64(col("block_key")))
     if (persist) b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else b
   }
@@ -93,15 +99,18 @@ object Blocking {
     */
   def candidatePairs(cappedBlocks: DataFrame, saltThreshold: Int = 64,
       nSalts: Int = 16): DataFrame = {
-    val cold = cappedBlocks.filter(col("block_size") <= saltThreshold)
-    val hot = cappedBlocks.filter(col("block_size") > saltThreshold)
+    val withId =
+      if (cappedBlocks.columns.contains("block_id")) cappedBlocks
+      else cappedBlocks.withColumn("block_id", xxhash64(col("block_key")))
+    val cold = withId.filter(col("block_size") <= saltThreshold)
+    val hot = withId.filter(col("block_size") > saltThreshold)
 
     def pairUp(a: DataFrame, b: DataFrame, extraKey: Seq[String]): DataFrame = {
-      val la = a.select((Seq(col("block_key")) ++ extraKey.map(col) ++ Seq(
+      val la = a.select((Seq(col("block_id")) ++ extraKey.map(col) ++ Seq(
         col("mention_id").as("mid_a"), col("url").as("url_a"))): _*)
-      val lb = b.select((Seq(col("block_key")) ++ extraKey.map(col) ++ Seq(
+      val lb = b.select((Seq(col("block_id")) ++ extraKey.map(col) ++ Seq(
         col("mention_id").as("mid_b"), col("url").as("url_b"))): _*)
-      la.join(lb, Seq("block_key") ++ extraKey)
+      la.join(lb, Seq("block_id") ++ extraKey)
         .filter(col("url_a") < col("url_b"))
         .drop(extraKey: _*)
     }
@@ -118,13 +127,16 @@ object Blocking {
   }
 
   /** Distinct candidate mention pairs with the (deterministic, min) shared
-    * block key. Narrow rows only: (mid_a, mid_b, url_a, url_b, block_key). */
+    * block id. Narrow rows only: (mid_a, mid_b, url_a, url_b, block_id).
+    * urls are functionally dependent on mention ids, so they ride in the
+    * GROUP KEY (string grouping keys hash fine; string AGG BUFFERS do not)
+    * and the single aggregate buffer is one long — HashAggregate with
+    * map-side partial combine. */
   def pairsFromBlocks(cappedBlocks: DataFrame, saltThreshold: Int = 64,
       nSalts: Int = 16): DataFrame =
     candidatePairs(cappedBlocks, saltThreshold, nSalts)
-      .groupBy("mid_a", "mid_b")
-      .agg(min(col("block_key")).as("block_key"),
-        first(col("url_a")).as("url_a"), first(col("url_b")).as("url_b"))
+      .groupBy("mid_a", "mid_b", "url_a", "url_b")
+      .agg(min(col("block_id")).as("block_id"))
 
   /** Full blocking stage: mentions + dict -> distinct candidate pairs.
     * Persists the intermediate blocks table across the self-join branches. */

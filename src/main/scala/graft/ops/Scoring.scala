@@ -82,18 +82,18 @@ object Scoring {
       .withColumn("is_match", col("score") > lit(w.threshold))
 
   /** One row per (url_a, url_b): keep the best-scoring mention pair across
-    * shared blocks. Hash aggregation (max_by with a deterministic tiebreak
-    * struct), not a sort window — cheaper and partially aggregates map-side. */
+    * shared blocks. row_number window, NOT max_by: max_by's struct buffer
+    * forces SortAggregate, while rank<=1 windows get the WindowGroupLimit
+    * rewrite (partial per-key top-1 BEFORE the shuffle — the map-side-combine
+    * equivalent for top-k). */
   def dedupBest(scored: DataFrame): DataFrame = {
-    val payload = struct(
-      col("block_key"), col("surface_a"), col("surface_b"),
-      col("jw"), col("lev"), col("jac"), col("cos"),
-      col("score"), col("is_match"))
-    val orderKey = struct(col("score"), col("block_key"),
-      col("surface_a"), col("surface_b"))
-    scored.groupBy("url_a", "url_b")
-      .agg(max_by(payload, orderKey).as("best"))
-      .select(col("url_a"), col("url_b"), col("best.*"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("url_a"), col("url_b"))
+      .orderBy(col("score").desc, col("block_id").asc,
+        col("surface_a").asc, col("surface_b").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
   }
 
   /** Full scoring stage over id-only pairs + the mentions table. */

@@ -35,7 +35,7 @@ object TuneDump {
 
     featured.join(gold.select("url_a", "url_b", "gold", "split"),
         Seq("url_a", "url_b"))
-      .select("url_a", "url_b", "block_key", "surface_a", "surface_b",
+      .select("url_a", "url_b", "block_id", "surface_a", "surface_b",
         "jw", "lev", "jac", "cos", "gold", "split")
       .write.mode("overwrite").parquet(out)
     println(s"wrote $out")

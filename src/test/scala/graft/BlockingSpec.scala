@@ -59,16 +59,18 @@ class BlockingSpec extends SparkSpec {
         when(col("block_key") === "hot", 30).otherwise(5))
 
     // force the hot path with a low threshold
+    val hotId = Seq(Tuple1("hot")).toDF("k")
+      .select(xxhash64(col("k"))).as[Long].head()
     val salted = Blocking.candidatePairs(blocks, saltThreshold = 10, nSalts = 4)
-      .select("block_key", "url_a", "url_b").as[(String, String, String)].collect()
+      .select("block_id", "url_a", "url_b").as[(Long, String, String)].collect()
     // plain path for comparison
     val plain = Blocking.candidatePairs(blocks, saltThreshold = 1000, nSalts = 4)
-      .select("block_key", "url_a", "url_b").as[(String, String, String)].collect()
+      .select("block_id", "url_a", "url_b").as[(Long, String, String)].collect()
 
     salted.length shouldBe plain.length // no duplicates
     salted.toSet shouldBe plain.toSet   // same set
-    salted.count(_._1 == "hot") shouldBe 30 * 29 / 2
-    salted.count(_._1 == "cold") shouldBe 5 * 4 / 2
+    salted.count(_._1 == hotId) shouldBe 30 * 29 / 2
+    salted.count(_._1 != hotId) shouldBe 5 * 4 / 2
   }
 
   test("pairs() dedups multi-block pairs keeping min block key") {
@@ -79,6 +81,9 @@ class BlockingSpec extends SparkSpec {
     // both mentions identical => same dict blocks e:E1/e:E2 AND all lsh bands
     val out = Blocking.pairs(mentions, dict, maxBlock = 100).collect()
     out.length shouldBe 1
-    out.head.getAs[String]("block_key") shouldBe "e:E1"
+    // the min block id is deterministic: min over xxhash64 of the shared keys
+    val candidates = Blocking.blocks(mentions, dict, maxBlock = 100)
+      .select("block_id").as[Long].collect()
+    out.head.getAs[Long]("block_id") shouldBe candidates.min
   }
 }

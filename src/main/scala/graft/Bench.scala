@@ -22,6 +22,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+          System.getProperty("java.io.tmpdir", "/tmp")))
       .getOrCreate()
     // extra session confs via SPARK_GRAFT_CONF="k=v;k=v" (bench experiments)
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))

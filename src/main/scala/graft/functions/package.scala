@@ -95,6 +95,14 @@ package object functions {
         " "))
   }
 
+  /** Exact char-k-shingle Jaccard (hashed shingles, codegen'd kernel). */
+  def shingle_jaccard(a: Column, b: Column, k: Int = 5): Column =
+    e2col(ShingleJaccardExpr(col2e(a.cast("string")), col2e(b.cast("string")), k))
+
+  /** Exact word n-gram Jaccard (hashed grams, codegen'd kernel). */
+  def word_ngram_jaccard(a: Column, b: Column, n: Int = 3): Column =
+    e2col(WordNgramJaccardExpr(col2e(a.cast("string")), col2e(b.cast("string")), n))
+
   /** Rolling-hash document fingerprint: xxhash64 of the normalized text —
     * cheap exact-dup fingerprint for the documents pipeline. */
   def doc_fingerprint(text: Column): Column =

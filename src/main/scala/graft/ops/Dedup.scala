@@ -71,11 +71,7 @@ object Dedup {
     val verified = cands
       .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("t", "t_a"), "id_a")
       .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("t", "t_b"), "id_b")
-      .withColumn("sh_a", charShingles(col("t_a"), 5))
-      .withColumn("sh_b", charShingles(col("t_b"), 5))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", shingle_jaccard(col("t_a"), col("t_b"), 5))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"))
     clusterDups(spark, verified, docs, idCol)
@@ -113,23 +109,12 @@ object Dedup {
   def ngramJaccardNearDup(spark: SparkSession, docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
       threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
-    def ngrams(t: org.apache.spark.sql.Column) = {
-      val toks = split(lower(trim(t)), "\\s+")
-      when(size(toks) < n, array(array_join(toks, " "))).otherwise(
-        array_distinct(transform(
-          sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + 1, lit(n)), " "))))
-    }
     val cands = minhashCandidates(docs, idCol, textCol, seed = seed)
     val texts = docs.select(col(idCol).as("id"), col(textCol).as("t"))
     val verified = cands
       .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("t", "t_a"), "id_a")
       .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("t", "t_b"), "id_b")
-      .withColumn("ng_a", ngrams(col("t_a")))
-      .withColumn("ng_b", ngrams(col("t_b")))
-      .withColumn("jaccard",
-        size(array_intersect(col("ng_a"), col("ng_b"))).cast("double") /
-          size(array_union(col("ng_a"), col("ng_b"))).cast("double"))
+      .withColumn("jaccard", word_ngram_jaccard(col("t_a"), col("t_b"), n))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b")
     clusterDups(spark, verified, docs, idCol)

@@ -162,3 +162,58 @@ class ExprSpec extends SparkSpec {
     df.select(norm_alnum(col("s"))).as[String].head() shouldBe "huntingtonsdisease2"
   }
 }
+
+class SetSimsSpec extends SparkSpec {
+  import graft.expr.SetSims
+  import graft.functions.{shingle_jaccard, word_ngram_jaccard}
+  import org.apache.spark.sql.functions.col
+
+  test("shingle jaccard known values and properties") {
+    SetSims.shingleJaccard(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abcdef"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("abcdef"), 3) shouldBe 1.0
+    // "abcd" vs "abce" with k=3: {abc,bcd} vs {abc,bce} => 1/3
+    SetSims.shingleJaccard(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abcd"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("abce"), 3) shouldBe (1.0 / 3.0) +- 1e-12
+    SetSims.shingleJaccard(
+      org.apache.spark.unsafe.types.UTF8String.fromString(""),
+      org.apache.spark.unsafe.types.UTF8String.fromString(""), 3) shouldBe 1.0
+  }
+
+  test("word ngram jaccard known values") {
+    import spark.implicits._
+    val df = Seq(
+      ("a b c d", "a b c d", 1.0),
+      // 3-grams: {abc,bcd} vs {abc,bcx} => 1/3
+      ("a b c d", "a b c x", 1.0 / 3.0),
+      ("x y z", "p q r", 0.0)).toDF("a", "b", "expected")
+    df.select(word_ngram_jaccard(col("a"), col("b"), 3).as("j"), col("expected"))
+      .as[(Double, Double)].collect()
+      .foreach { case (j, e) => j shouldBe e +- 1e-12 }
+  }
+
+  test("kernels agree with the array-based definition on random strings") {
+    val rnd = new scala.util.Random(5)
+    import spark.implicits._
+    val rows = (0 until 50).map { _ =>
+      def str() = (0 until 5 + rnd.nextInt(20))
+        .map(_ => "ab cde".charAt(rnd.nextInt(6))).mkString
+      (str(), str())
+    }
+    val df = rows.toDF("a", "b")
+    // reference: distinct char 5-shingles via plain scala
+    def shingles(s: String, k: Int): Set[String] =
+      if (s.isEmpty) Set.empty
+      else if (s.length < k) Set(s)
+      else (0 to s.length - k).map(i => s.substring(i, i + k)).toSet
+    val got = df.select(shingle_jaccard(col("a"), col("b"), 5)).as[Double].collect()
+    rows.zip(got).foreach { case ((a, b), j) =>
+      val sa = shingles(a, 5); val sb = shingles(b, 5)
+      val expected =
+        if (sa.isEmpty && sb.isEmpty) 1.0
+        else (sa & sb).size.toDouble / (sa | sb).size
+      j shouldBe expected +- 1e-12
+    }
+  }
+}

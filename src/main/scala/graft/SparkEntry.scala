@@ -157,6 +157,8 @@ object SparkEntry {
       .select(col("o_custkey"),
         sort_array(array_intersect(col("prio"),
           array(lit("1-URGENT"), lit("2-HIGH")))).as("urgent_prios"),
+        sort_array(array_except(col("prio"),
+          array(lit("1-URGENT"), lit("2-HIGH")))).as("other_prios"),
         size(col("prio")).as("n_prios"))),
 
     // ---- scalar function surface (§2.8) ----
@@ -364,6 +366,7 @@ object SparkEntry {
     "q17_array_setops" ->
       """SELECT o_custkey,
          list_sort(list_intersect(prio, ['1-URGENT','2-HIGH'])) AS urgent_prios,
+         list_sort(list_filter(prio, x -> NOT list_contains(['1-URGENT','2-HIGH'], x))) AS other_prios,
          length(prio) AS n_prios
          FROM (SELECT o_custkey, list(DISTINCT o_orderpriority) AS prio
                FROM orders GROUP BY o_custkey)""",

@@ -42,10 +42,19 @@ object Bench {
 
     val pipelineOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY_PIPELINE").contains("1")
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // a crashing query must be visible in the JSON (time = -1 sentinel +
+    // "failed" list), never recorded as a fast success
+    val failed = scala.collection.mutable.ListBuffer[String]()
     if (!pipelineOnly) {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        results(name) = time {
-          try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          results(name) = (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          results(name) = -1.0
+          failed += name
+          System.err.println(s"[bench] query $name FAILED: ${e.getMessage}")
         }
       }
     }
@@ -69,9 +78,10 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.sum
+    val total = results.values.filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","bench_pages":$benchPages,""" +
+      s""""failed":$failedJson,"sf":"$sfDir","bench_pages":$benchPages,""" +
       s""""pages_per_sec":$pagesPerSec,"cpus":$cpus}""")
     spark.stop()
   }

@@ -37,45 +37,67 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "scala_udf")
 
-  def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((FunctionIdentifier("jaro_winkler"),
-      info("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1]."),
-      (args: Seq[Expression]) => JaroWinklerExpr(args(0), args(1))))
+  private def arity(name: String, args: Seq[Expression], min: Int, max: Int): Unit =
+    if (args.length < min || args.length > max)
+      throw new IllegalArgumentException(
+        s"$name expects $min..$max arguments, got ${args.length}")
 
-    ext.injectFunction((FunctionIdentifier("minhash_sig"),
-      info("minhash_sig", "minhash_sig(text[, k, numHashes, seed]) - MinHash signature."),
-      (args: Seq[Expression]) => MinHashSigExpr(args.head,
+  /** Single source of truth for name -> builder; used by BOTH the
+    * injectFunction path and the imperative register() path so arg parsing
+    * never diverges. Every builder rejects excess arguments (silently
+    * ignoring a user-supplied seed would produce wrong results). */
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "jaro_winkler" -> { args: Seq[Expression] =>
+      arity("jaro_winkler", args, 2, 2)
+      JaroWinklerExpr(args(0), args(1))
+    },
+    "minhash_sig" -> { args: Seq[Expression] =>
+      arity("minhash_sig", args, 1, 4)
+      MinHashSigExpr(args.head,
         if (args.length > 1) intArg(args(1), "k") else 3,
         if (args.length > 2) intArg(args(2), "numHashes") else 64,
-        if (args.length > 3) longArg(args(3), "seed") else 42L)))
-
-    ext.injectFunction((FunctionIdentifier("simhash64"),
-      info("simhash64", "simhash64(text[, seed]) - 64-bit SimHash over tokens."),
-      (args: Seq[Expression]) => SimHash64Expr(args.head,
-        if (args.length > 1) longArg(args(1), "seed") else 42L)))
-
-    ext.injectFunction((FunctionIdentifier("hash_embed"),
-      info("hash_embed", "hash_embed(text[, dim, seed]) - deterministic hash embedding."),
-      (args: Seq[Expression]) => HashEmbedExpr(args.head,
+        if (args.length > 3) longArg(args(3), "seed") else 42L)
+    },
+    "simhash64" -> { args: Seq[Expression] =>
+      arity("simhash64", args, 1, 2)
+      SimHash64Expr(args.head,
+        if (args.length > 1) longArg(args(1), "seed") else 42L)
+    },
+    "hash_embed" -> { args: Seq[Expression] =>
+      arity("hash_embed", args, 1, 3)
+      HashEmbedExpr(args.head,
         if (args.length > 1) intArg(args(1), "dim") else 256,
-        if (args.length > 2) longArg(args(2), "seed") else 42L)))
+        if (args.length > 2) longArg(args(2), "seed") else 42L)
+    },
+    "cosine_sim" -> { args: Seq[Expression] =>
+      arity("cosine_sim", args, 2, 2)
+      CosineSimExpr(args(0), args(1))
+    })
 
-    ext.injectFunction((FunctionIdentifier("cosine_sim"),
-      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of float arrays."),
-      (args: Seq[Expression]) => CosineSimExpr(args(0), args(1))))
-  }
+  private val usages = Map(
+    "jaro_winkler" -> "jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1].",
+    "minhash_sig" -> "minhash_sig(text[, k, numHashes, seed]) - MinHash signature.",
+    "simhash64" -> "simhash64(text[, seed]) - 64-bit SimHash over tokens.",
+    "hash_embed" -> "hash_embed(text[, dim, seed]) - deterministic hash embedding.",
+    "cosine_sim" -> "cosine_sim(a, b) - cosine similarity of float arrays.")
+
+  def apply(ext: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        info(name, usages(name)), builder))
+    }
 }
 
-/** Imperative registration for sessions that already exist (tests, REPL). */
+/** Imperative registration for sessions that already exist (tests, REPL).
+  * Delegates to the SAME builders as the injectFunction path, so optional
+  * k/numHashes/seed literals are parsed (not silently ignored) and excess
+  * arguments fail loudly instead of producing wrong results. */
 object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    def put(name: String, builder: Seq[Expression] => Expression): Unit =
+    val ext = new GraftExtensions
+    ext.builders.foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
-    put("jaro_winkler", args => JaroWinklerExpr(args(0), args(1)))
-    put("minhash_sig", args => MinHashSigExpr(args.head, 3, 64, 42L))
-    put("simhash64", args => SimHash64Expr(args.head, 42L))
-    put("hash_embed", args => HashEmbedExpr(args.head, 256, 42L))
-    put("cosine_sim", args => CosineSimExpr(args(0), args(1)))
+    }
   }
 }

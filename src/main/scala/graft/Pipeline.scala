@@ -1,6 +1,10 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.Executors
+
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -32,13 +36,23 @@ case class PipelineConfig(
     ctxWindow: Int = 4,
     seed: Long = 42L,
     runId: String = "run",
-    /** When true, every CC iteration commits to parquet under <ckpt>/cc/ so
+    /** When true, every CC lineage cut commits to parquet under <ckpt>/cc/ so
       * a crash mid-clustering resumes inside the loop; when false (default),
-      * iterations cut lineage with localCheckpoint and only the final
-      * clusters table is durable. At 10^12-doc scale set true and checkpoint
-      * every K iterations; at bench scale the per-iteration parquet
+      * cuts use localCheckpoint and only the final clusters table is durable.
+      * At 10^12-doc scale set true; at bench scale the per-cut parquet
       * round-trips dominate CC wall time. */
-    ccDurableIterations: Boolean = false)
+    ccDurableIterations: Boolean = false,
+    /** Scoring hydration join strategy: Some(true)/Some(false) force
+      * broadcast/shuffle of the mentions projection; None (default) decides
+      * by row count — broadcast while the projection is driver-safe, shuffle
+      * NARROW pair rows beyond that (ops/Scoring.scala hydrate doc). */
+    broadcastMentions: Option[Boolean] = None,
+    /** Auto-switch threshold for broadcastMentions=None: broadcast the
+      * mentions projection iff its row count (a cheap parquet-metadata count
+      * on the committed s1 checkpoint) is at most this. ~30M rows of
+      * (mention_id, surface, ctx) ≈ low single-digit GiB — the practical
+      * executor broadcast ceiling. */
+    broadcastMentionsMaxRows: Long = 30000000L)
 
 case class PipelineResult(
     pages: DataFrame,
@@ -55,9 +69,23 @@ object Pipeline {
   private def committed(path: String): Boolean =
     Files.exists(Paths.get(path, "_SUCCESS"))
 
+  /** Single-thread executor for lineage-metrics appends: metrics jobs run off
+    * the critical path (the next stage starts while metrics commit), but
+    * strictly one at a time — concurrent appends to one parquet directory
+    * would race in the shared _temporary commit dir. */
+  private lazy val metricsEc: ExecutionContext =
+    ExecutionContext.fromExecutor(Executors.newSingleThreadExecutor { r =>
+      val t = new Thread(r, "graft-metrics-writer")
+      t.setDaemon(true)
+      t
+    })
+
   /** Run one stage: resume from the last committed snapshot if present,
-    * otherwise compute, commit, and append lineage metrics. */
-  def stage(spark: SparkSession, cfg: PipelineConfig, name: String)
+    * otherwise compute, commit, and append lineage metrics (asynchronously —
+    * pass the returned future list to awaitMetrics, or use run(), which
+    * awaits before returning). */
+  def stage(spark: SparkSession, cfg: PipelineConfig, name: String,
+      pending: scala.collection.mutable.Buffer[Future[Unit]] = null)
       (compute: => DataFrame): DataFrame = {
     val path = stagePath(cfg, name)
     if (cfg.resume && committed(path)) {
@@ -67,8 +95,12 @@ object Pipeline {
       compute.write.mode("overwrite").parquet(path)
       val out = spark.read.parquet(path)
       val wallMs = (System.nanoTime() - t0) / 1000000L
-      Metrics.stageMetrics(out, cfg.runId, name, wallMs)
-        .write.mode("append").parquet(s"${cfg.checkpointDir}/metrics")
+      val write = Future {
+        Metrics.stageMetrics(out, cfg.runId, name, wallMs)
+          .write.mode("append").parquet(s"${cfg.checkpointDir}/metrics")
+      }(metricsEc)
+      if (pending != null) pending += write
+      else Await.result(write, Duration.Inf) // standalone call: synchronous
       out
     }
   }
@@ -77,34 +109,44 @@ object Pipeline {
     * resume=true picks up after the last committed stage (north_rule). */
   def run(spark: SparkSession, pagesIn: DataFrame, dict: DataFrame,
       cfg: PipelineConfig): PipelineResult = {
+    val pending = scala.collection.mutable.Buffer.empty[Future[Unit]]
 
-    val pages = stage(spark, cfg, "s0_pages") {
-      Extract.withInvariant(Extract.latestSnapshot(pagesIn))
+    val pages = stage(spark, cfg, "s0_pages", pending) {
+      Extract.withInvariant(Extract.latestSnapshot(Extract.canonicalized(pagesIn)))
     }
 
-    val mentions = stage(spark, cfg, "s1_mentions") {
+    val mentions = stage(spark, cfg, "s1_mentions", pending) {
       Extract.mentions(pages, cfg.ctxWindow)
     }
 
     // blocks are materialized as their own checkpoint: the pair self-join
     // reads them multiple times, and a resumed run skips re-blocking
-    val blocks = stage(spark, cfg, "s2_blocks") {
+    val blocks = stage(spark, cfg, "s2_blocks", pending) {
       Blocking.blocks(mentions, dict, cfg.maxBlock, cfg.seed)
     }
 
-    val pairs = stage(spark, cfg, "s3_pairs") {
+    val pairs = stage(spark, cfg, "s3_pairs", pending) {
       Blocking.pairsFromBlocks(blocks, cfg.saltThreshold, cfg.nSalts)
     }
 
-    val scored = stage(spark, cfg, "s4_scored") {
-      Scoring.score(pairs, mentions, cfg.weights, cfg.embedDim, cfg.seed)
+    val scored = stage(spark, cfg, "s4_scored", pending) {
+      // size-based auto: mentions is a committed parquet checkpoint, so the
+      // count is a metadata-cheap scan, paid only when the stage recomputes
+      val bcast = cfg.broadcastMentions.getOrElse(
+        mentions.count() <= cfg.broadcastMentionsMaxRows)
+      Scoring.score(pairs, mentions, cfg.weights, cfg.embedDim, cfg.seed,
+        broadcastMentions = bcast)
     }
 
-    val clusters = stage(spark, cfg, "s5_clusters") {
+    val clusters = stage(spark, cfg, "s5_clusters", pending) {
       Clustering.clusters(spark, scored,
         pages.filter(col("lang") === "en" && col("invariant_ok")),
         if (cfg.ccDurableIterations) Some(s"${cfg.checkpointDir}/cc") else None)
     }
+
+    // all lineage metrics must be durable before the run is reported done
+    // (resume correctness: a rerun's byte-identical-metrics check reads them)
+    pending.foreach(Await.result(_, Duration.Inf))
 
     PipelineResult(pages, mentions, pairs, scored, clusters)
   }

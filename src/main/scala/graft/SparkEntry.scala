@@ -43,14 +43,19 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- scans / projections / filters (S1, P1-P8) ----
+    // NOTE on decimal outputs (round-1 hash-fail fix): aggregation runs in
+    // exact decimal on BOTH engines, but the FINAL columns are cast to DOUBLE
+    // so the driver's pandas hash compares IEEE754 values, not engine-internal
+    // decimal representations (which diverged at sf0.1). Exact-decimal-sum →
+    // double is a deterministic, engine-independent conversion.
     "q01_agg" -> ((s, d) => t(s, d, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_price"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
         sum((col("l_extendedprice").cast("decimal(18,2)") *
           (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-          .cast("decimal(28,4)")).cast("decimal(38,4)").as("sum_disc_price"),
+          .cast("decimal(28,4)")).cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))),
 
     "q02_filter_project" -> ((s, d) => t(s, d, "lineitem")
@@ -59,14 +64,14 @@ object SparkEntry {
       .select(col("l_orderkey"), col("l_linenumber"),
         (col("l_extendedprice").cast("decimal(18,2)") *
           col("l_discount").cast("decimal(18,2)")).cast("decimal(28,4)")
-          .as("disc_amount"))),
+          .cast("double").as("disc_amount"))),
 
     // ---- joins (J1-J8) ----
     "q03_join_broadcast" -> ((s, d) => t(s, d, "orders")
       .join(broadcast(t(s, d, "customer")),
         col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
-      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("segment_revenue"),
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("segment_revenue"),
         count(lit(1)).as("n_orders"))),
 
     "q04_semi_join" -> ((s, d) => t(s, d, "customer")
@@ -91,7 +96,7 @@ object SparkEntry {
       .groupBy("n_name")
       .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
         (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-        .cast("decimal(28,4)")).cast("decimal(38,4)").as("revenue"))),
+        .cast("decimal(28,4)")).cast("double").as("revenue"))),
 
     // ---- aggregations (A1-A10) ----
     "q08_agg_distinct" -> ((s, d) => t(s, d, "lineitem")
@@ -109,10 +114,13 @@ object SparkEntry {
       .groupBy("l_suppkey").agg(count(lit(1)).as("n_items"))
       .filter(col("n_items") > 400)),
 
+    // Array-valued results are emitted as canonical comma-joined strings so
+    // the driver's pandas sort/hash (which cannot sort ndarray cells) gets
+    // hashable values — round-1 oracle-err fix.
     "q11_collect_agg" -> ((s, d) => t(s, d, "nation")
       .groupBy("n_regionkey")
-      .agg(sort_array(collect_set(col("n_name"))).as("nations"),
-        sort_array(collect_list(col("n_name"))).as("nations_all"),
+      .agg(array_join(sort_array(collect_set(col("n_name"))), ",").as("nations"),
+        array_join(sort_array(collect_list(col("n_name"))), ",").as("nations_all"),
         count(lit(1)).as("n_nations"))),
 
     // ---- windows (§2.5) ----
@@ -155,10 +163,10 @@ object SparkEntry {
       .groupBy("o_custkey")
       .agg(collect_set(col("o_orderpriority")).as("prio"))
       .select(col("o_custkey"),
-        sort_array(array_intersect(col("prio"),
-          array(lit("1-URGENT"), lit("2-HIGH")))).as("urgent_prios"),
-        sort_array(array_except(col("prio"),
-          array(lit("1-URGENT"), lit("2-HIGH")))).as("other_prios"),
+        array_join(sort_array(array_intersect(col("prio"),
+          array(lit("1-URGENT"), lit("2-HIGH")))), ",").as("urgent_prios"),
+        array_join(sort_array(array_except(col("prio"),
+          array(lit("1-URGENT"), lit("2-HIGH")))), ",").as("other_prios"),
         size(col("prio")).as("n_prios"))),
 
     // ---- scalar function surface (§2.8) ----
@@ -251,8 +259,12 @@ object SparkEntry {
       .select(col("doc_id"),
         TextOps.langIdHeuristic(col("text")).as("lang_pred"))),
 
+    // fingerprint = md5 of whitespace-normalized lowercase text: unlike the
+    // xxhash64 rolling fingerprint (still available as
+    // functions.doc_fingerprint for the pipeline), md5 exists in DuckDB, so
+    // this query is fully oracle-checked.
     "g07_docs_fingerprint" -> ((s, d) =>
-      TextOps.withFingerprint(t(s, d, "documents"))
+      TextOps.withFingerprintMd5(t(s, d, "documents"))
         .select("doc_id", "fingerprint")),
 
     "g08_multimodal_features" -> ((s, d) =>
@@ -267,19 +279,64 @@ object SparkEntry {
     "g09_events_sessionize" -> ((s, d) => {
       // session = gap > 30 min per user (streaming-style sessionization as
       // batch window math; SURVEY.md §2.10 keeps Structured Streaming out of
-      // scope)
+      // scope). Gap compares MICROSECONDS (event ts has sub-second precision;
+      // unix_timestamp's second truncation would diverge from the oracle).
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       t(s, d, "events")
         .withColumn("prev_ts", lag(col("ts"), 1).over(w))
         .withColumn("new_session",
           when(col("prev_ts").isNull ||
-            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+            unix_micros(col("ts").cast("timestamp")) -
+              unix_micros(col("prev_ts").cast("timestamp")) > 1800L * 1000000L, 1)
             .otherwise(0))
         .withColumn("session_id", sum(col("new_session")).over(
           w.rowsBetween(Window.unboundedPreceding, 0)))
         .groupBy("user_id", "session_id")
         .agg(count(lit(1)).as("n_events"))
-    }))
+    }),
+
+    // ---- rule-gated ensemble (reference evaluation_util.py:17-38 shape:
+    // both rules fire => positive, neither fires => negative, disagreement =>
+    // defer to the model — per-row model selection by rule state) ----
+    "q27_rule_gated" -> ((s, d) => {
+      val sig = TextOps.withQualitySignals(t(s, d, "documents"))
+      sig.select(col("doc_id"),
+          (col("n_tokens") > 20).as("rule_len"),
+          (col("alpha_ratio") >= 0.55).as("rule_alpha"),
+          col("mean_word_len").between(3.0, 10.0).as("model_pred"))
+        .select(col("doc_id"),
+          col("rule_len").cast("int").as("rule_len"),
+          col("rule_alpha").cast("int").as("rule_alpha"),
+          when(col("rule_len") && col("rule_alpha"), 1)
+            .when(!col("rule_len") && !col("rule_alpha"), 0)
+            .otherwise(col("model_pred").cast("int")).as("gated_pred"))
+    }),
+
+    // ---- multi-hop taxonomy rollup (reference UMLS->ORDO->ICD10->ICD9
+    // chains, rare_disease_id_util.py:278-322 + per-doc union-dedup,
+    // step9_processing_all_documents.py:241-252): chained broadcast dim joins
+    // + per-key collect_set rollup ----
+    "q28_taxonomy_rollup" -> ((s, d) => t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("l_orderkey")
+      .agg(
+        array_join(sort_array(collect_set(col("n_name"))), ",").as("nations"),
+        array_join(sort_array(collect_set(col("r_name"))), ",").as("regions"),
+        countDistinct(col("s_suppkey")).as("n_suppliers"))),
+
+    // embedding-cosine near-dup exposed as a driver query (rows-only: CC +
+    // engine-specific sign-bucket candidates are not DuckDB-expressible;
+    // recall vs brute force is unit-gated in DedupSpec). The embeddings table
+    // is isotropic noise (no true near-dups — verified: cross/within-label
+    // cosine max ~0.5), so the query embeds the documents table, which does
+    // contain planted near-duplicates.
+    "g11_emb_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDup(s,
+        t(s, d, "documents").select(col("doc_id").as("vec_id"),
+          graft.functions.hash_embed(col("text"), 256, 42L).as("embedding")),
+        threshold = 0.9)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for g* ops (not SQL-expressible in
@@ -287,19 +344,19 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
-         cast(sum(cast(l_quantity as decimal(18,2))) as decimal(38,2)) AS sum_qty,
-         cast(sum(cast(l_extendedprice as decimal(18,2))) as decimal(38,2)) AS sum_price,
-         cast(sum(cast(cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2))) as decimal(28,4))) as decimal(38,4)) AS sum_disc_price,
+         cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+         cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_price,
+         cast(sum(cast(cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2))) as decimal(28,4))) as double) AS sum_disc_price,
          count(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     "q02_filter_project" ->
       """SELECT l_orderkey, l_linenumber,
-         cast(cast(l_extendedprice as decimal(18,2)) * cast(l_discount as decimal(18,2)) as decimal(28,4)) AS disc_amount
+         cast(cast(cast(l_extendedprice as decimal(18,2)) * cast(l_discount as decimal(18,2)) as decimal(28,4)) as double) AS disc_amount
          FROM lineitem
          WHERE l_shipdate >= timestamp '1995-01-01' AND l_discount > 0.05 AND l_quantity < 25""",
     "q03_join_broadcast" ->
       """SELECT c_mktsegment,
-         cast(sum(cast(o_totalprice as decimal(18,2))) as decimal(38,2)) AS segment_revenue,
+         cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS segment_revenue,
          count(*) AS n_orders
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment""",
@@ -315,7 +372,7 @@ object SparkEntry {
          FROM nation LEFT JOIN region ON n_regionkey = r_regionkey""",
     "q07_multi_join" ->
       """SELECT n_name,
-         cast(sum(cast(cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2))) as decimal(28,4))) as decimal(38,4)) AS revenue
+         cast(sum(cast(cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2))) as decimal(28,4))) as double) AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -335,8 +392,10 @@ object SparkEntry {
       """SELECT l_suppkey, count(*) AS n_items FROM lineitem
          GROUP BY l_suppkey HAVING count(*) > 400""",
     "q11_collect_agg" ->
-      """SELECT n_regionkey, list_sort(list(DISTINCT n_name)) AS nations,
-         list_sort(list(n_name)) AS nations_all, count(*) AS n_nations
+      """SELECT n_regionkey,
+         array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations,
+         array_to_string(list_sort(list(n_name)), ',') AS nations_all,
+         count(*) AS n_nations
          FROM nation GROUP BY n_regionkey""",
     "q12_window_topn" ->
       """SELECT o_custkey, o_orderkey, rn FROM (
@@ -365,8 +424,8 @@ object SparkEntry {
             EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus='O')""",
     "q17_array_setops" ->
       """SELECT o_custkey,
-         list_sort(list_intersect(prio, ['1-URGENT','2-HIGH'])) AS urgent_prios,
-         list_sort(list_filter(prio, x -> NOT list_contains(['1-URGENT','2-HIGH'], x))) AS other_prios,
+         coalesce(array_to_string(list_sort(list_intersect(prio, ['1-URGENT','2-HIGH'])), ','), '') AS urgent_prios,
+         coalesce(array_to_string(list_sort(list_filter(prio, x -> NOT list_contains(['1-URGENT','2-HIGH'], x))), ','), '') AS other_prios,
          length(prio) AS n_prios
          FROM (SELECT o_custkey, list(DISTINCT o_orderpriority) AS prio
                FROM orders GROUP BY o_custkey)""",
@@ -446,5 +505,79 @@ object SparkEntry {
          round(list_cosine_similarity(cast(embedding as double[]),
            (SELECT cast(embedding as double[]) FROM embeddings ORDER BY vec_id LIMIT 1)), 6) AS cos
          FROM embeddings
-         ORDER BY cos DESC, vec_id ASC LIMIT 10""")
+         ORDER BY cos DESC, vec_id ASC LIMIT 10""",
+    // langid heuristic spelled in SQL: per-language distinct-stopword ratios,
+    // argmax with Spark's struct-max tiebreak (larger language string wins a
+    // score tie: fr > es > en > de), 'und' below 0.1
+    "g06_docs_langid" ->
+      """SELECT doc_id,
+         CASE WHEN greatest(s_en, s_de, s_fr, s_es) < 0.1 THEN 'und'
+              WHEN s_fr >= greatest(s_en, s_de, s_es) THEN 'fr'
+              WHEN s_es >= greatest(s_en, s_de) THEN 'es'
+              WHEN s_en >= s_de THEN 'en'
+              ELSE 'de' END AS lang_pred
+         FROM (
+           SELECT doc_id,
+             CASE WHEN len(tk) = 0 THEN 0.0 ELSE cast(len(list_intersect(tk,
+               ['the','of','and','to','in','a','is','that','it','was','for','on','with','as','at','by','be','this','are','or'])) as double)
+               / cast(least(len(tk), 20) as double) END AS s_en,
+             CASE WHEN len(tk) = 0 THEN 0.0 ELSE cast(len(list_intersect(tk,
+               ['der','die','das','und','ist','von','zu','mit','den','nicht','ein','eine','auf','im','sich'])) as double)
+               / cast(least(len(tk), 15) as double) END AS s_de,
+             CASE WHEN len(tk) = 0 THEN 0.0 ELSE cast(len(list_intersect(tk,
+               ['le','la','les','de','des','et','est','un','une','dans','que','pour','qui','au','pas'])) as double)
+               / cast(least(len(tk), 15) as double) END AS s_fr,
+             CASE WHEN len(tk) = 0 THEN 0.0 ELSE cast(len(list_intersect(tk,
+               ['el','la','los','las','de','y','es','un','una','en','que','por','con','para','no'])) as double)
+               / cast(least(len(tk), 15) as double) END AS s_es
+           FROM (
+             SELECT doc_id,
+               list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-zà-ÿäöüß]+'), x -> x <> '')) AS tk
+             FROM documents))""",
+    "g07_docs_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+         FROM documents""",
+    "g09_events_sessionize" ->
+      """WITH lagged AS (
+           SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         flagged AS (
+           SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
+           FROM lagged),
+         sessions AS (
+           SELECT user_id,
+             cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS session_id
+           FROM flagged)
+         SELECT user_id, session_id, count(*) AS n_events
+         FROM sessions GROUP BY user_id, session_id""",
+    "q27_rule_gated" ->
+      """SELECT doc_id,
+         CASE WHEN n_tokens > 20 THEN 1 ELSE 0 END AS rule_len,
+         CASE WHEN alpha_ratio >= 0.55 THEN 1 ELSE 0 END AS rule_alpha,
+         CASE WHEN n_tokens > 20 AND alpha_ratio >= 0.55 THEN 1
+              WHEN NOT (n_tokens > 20) AND NOT (alpha_ratio >= 0.55) THEN 0
+              WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END AS gated_pred
+         FROM (
+           SELECT doc_id,
+             length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             CASE WHEN length(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
+               ELSE cast(length(regexp_replace(text, '\s+', '', 'g')) as double) /
+                    cast(length(regexp_split_to_array(trim(text), '\s+')) as double) END AS mean_word_len,
+             CASE WHEN length(text) = 0 THEN 0.0
+               ELSE cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) as double) /
+                    cast(length(text) as double) END AS alpha_ratio
+           FROM documents)""",
+    "q28_taxonomy_rollup" ->
+      """SELECT l_orderkey,
+         array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations,
+         array_to_string(list_sort(list(DISTINCT r_name)), ',') AS regions,
+         count(DISTINCT s_suppkey) AS n_suppliers
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY l_orderkey""")
 }

@@ -77,11 +77,19 @@ package object functions {
       concat_ws(":", lit("l"), b.cast("string"),
         xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).cast("string")))
 
+  /** All non-overlapping matches of a constant regex with their character
+    * offsets: array<struct<m string, pos int>> — the position-aware
+    * counterpart of regexp_extract_all (pair with explode). */
+  def regexp_match_pos(text: Column, pattern: String): Column =
+    e2col(RegexpMatchPosExpr(col2e(text.cast("string")), pattern))
+
   /** ±w-token context window around the first occurrence of `surface` in
     * `text`, as a single string (reference's context window,
     * `main_scripts/sent_bert_emb_viz_util.py:205-262`). Token-level, built-ins
     * only. Falls back to the whole text when the surface's first token is not
-    * found (array_position = 0).
+    * found (array_position = 0). Prefer `context_window_at` when the
+    * occurrence's character offset is known — this variant mislocates
+    * repeated surfaces.
     */
   def context_window(text: Column, surface: Column, w: Int): Column = {
     val tokens = split(text, "\\s+")
@@ -93,6 +101,25 @@ package object functions {
           greatest(lit(1), (idx - w).cast("int")),
           lit(2 * w) + size(sTokens)),
         " "))
+  }
+
+  /** ±w-token context window around the occurrence of `surface` that STARTS
+    * at character offset `begin` (0-based) — per-occurrence-correct: the
+    * token index is derived from the offset (token count of the trimmed
+    * prefix), so two occurrences of the same surface get their own windows.
+    */
+  def context_window_at(text: Column, surface: Column, begin: Column,
+      w: Int): Column = {
+    val tokens = split(text, "\\s+")
+    val sTokens = split(surface, "\\s+")
+    val prefix = trim(text.substr(lit(1), begin.cast("int")))
+    val nBefore = when(length(prefix) === 0, lit(0))
+      .otherwise(size(split(prefix, "\\s+")))
+    val idx = nBefore + 1 // 1-based token index of the mention's first token
+    val start = greatest(lit(1), (idx - w).cast("int"))
+    // end stays anchored at mention_end + w even when start clamps to 1
+    val len = (idx + size(sTokens) + w - start).cast("int")
+    array_join(slice(tokens, start, len), " ")
   }
 
   /** Exact char-k-shingle Jaccard (hashed shingles, codegen'd kernel). */

@@ -70,36 +70,58 @@ object Clustering {
 
   /** Connected components over undirected string edges (u, v).
     * Returns (node, cluster_id) where cluster_id = min node of the component.
-    * `checkpointDir`: when set, each iteration persists to parquet (resumable
-    * lineage cut); otherwise localCheckpoint is used (tests).
+    * `checkpointDir`: when set, each materialization persists to parquet
+    * (resumable lineage cut); otherwise localCheckpoint is used (tests).
+    * `roundsPerCut`: large+small-star rounds fused into ONE materialization
+    * barrier. Iteration count is O(log n) but each barrier is a flat
+    * coordination cost that dominates small inputs and caps scaling
+    * efficiency (BENCH/BASELINE.md Amdahl decomposition) — fusing 2 rounds
+    * halves the barrier count at unchanged per-round shuffle volume.
+    * Convergence still checks the checksum of EVERY round (both observations
+    * ride the same job), so fusing never changes the result, only the number
+    * of lineage cuts. Throws on non-convergence within maxIter rounds —
+    * returning a half-converged edge set as final clusters would be silently
+    * wrong downstream.
     */
   def connectedComponents(spark: SparkSession, edges0: DataFrame,
-      checkpointDir: Option[String] = None, maxIter: Int = 50): DataFrame = {
+      checkpointDir: Option[String] = None, maxIter: Int = 50,
+      roundsPerCut: Int = 2): DataFrame = {
     var edges = edges0.select(col("u"), col("v"))
       .filter(col("u") =!= col("v")).distinct()
     var last: (Long, BigDecimal) = (-1L, BigDecimal(-1))
-    var iter = 0
+    var round = 0
     var converged = false
-    while (!converged && iter < maxIter) {
-      val obs = org.apache.spark.sql.Observation(s"cc_iter_$iter")
-      val next = smallStar(largeStar(edges))
-        .observe(obs, checksumExprs.head, checksumExprs.tail: _*)
+    while (!converged && round < maxIter) {
+      val roundsThisCut = math.min(roundsPerCut, maxIter - round)
+      var next = edges
+      val obs = (0 until roundsThisCut).map { r =>
+        val o = org.apache.spark.sql.Observation(s"cc_round_${round + r}")
+        next = smallStar(largeStar(next))
+          .observe(o, checksumExprs.head, checksumExprs.tail: _*)
+        o
+      }
       val cut = checkpointDir match {
         case Some(dir) =>
-          val path = s"$dir/cc_iter_$iter"
+          val path = s"$dir/cc_round_${round + roundsThisCut - 1}"
           next.write.mode("overwrite").parquet(path)
           spark.read.parquet(path)
         case None =>
           next.localCheckpoint(eager = true)
       }
-      val row = obs.get
-      val cs = (row("c").asInstanceOf[Long],
-        BigDecimal(row("h").asInstanceOf[java.math.BigDecimal]))
-      converged = cs == last
-      last = cs
+      obs.foreach { o =>
+        val row = o.get
+        val cs = (row("c").asInstanceOf[Long],
+          BigDecimal(row("h").asInstanceOf[java.math.BigDecimal]))
+        converged ||= cs == last
+        last = cs
+      }
       edges = cut
-      iter += 1
+      round += roundsThisCut
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds — " +
+          "refusing to return a partial clustering")
     // converged edge set is (node -> component-min) star edges
     edges.select(col("u").as("url"), col("v").as("cluster_id"))
   }

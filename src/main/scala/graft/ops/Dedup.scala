@@ -47,10 +47,15 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       bands: Int = 16, rows: Int = 4, maxBucket: Int = 256,
       seed: Long = 42L): DataFrame = {
+    // persist: the keyed (minhash over full text) subtree feeds the
+    // bucket-size agg, the join back, AND both sides of the self-join —
+    // without it the expensive signature is recomputed ~3x (same rationale
+    // as Blocking.blocks)
     val keyed = docs.select(col(idCol).as("id"),
         explode(lsh_band_keys(
           minhash_sig(lower(col(textCol)), k = 5, numHashes = bands * rows,
             seed = seed), bands, rows)).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sized = keyed.groupBy("bucket").agg(count(lit(1)).as("n"))
       .filter(col("n") <= maxBucket && col("n") > 1)
     val inBuckets = keyed.join(sized, "bucket")
@@ -90,6 +95,7 @@ object Dedup {
           concat_ws(":", lit(b),
             shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL)))): _*))
           .as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sized = banded.groupBy("bucket").agg(count(lit(1)).as("n"))
       .filter(col("n") <= maxBucket && col("n") > 1)
     val inB = banded.join(sized, "bucket")
@@ -138,12 +144,14 @@ object Dedup {
   }
 
   /** Cluster verified duplicate edges with CC; emit (id, dup_of) rows for
-    * docs whose representative differs from themselves. */
+    * docs whose representative differs from themselves. CC compares node ids
+    * as strings, so numeric ids are zero-padded first — string order must
+    * equal numeric order for "dup_of = min doc id" to hold. */
   private def clusterDups(spark: SparkSession, edges: DataFrame,
       docs: DataFrame, idCol: String): DataFrame = {
+    def key(c: org.apache.spark.sql.Column) = lpad(c.cast("string"), 20, "0")
     val cc = Clustering.connectedComponents(spark,
-      edges.select(col("id_a").cast("string").as("u"),
-        col("id_b").cast("string").as("v")))
+      edges.select(key(col("id_a")).as("u"), key(col("id_b")).as("v")))
     cc.select(col("url").cast("long").as(idCol),
       col("cluster_id").cast("long").as("dup_of"))
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{context_window, norm_alnum}
+import graft.functions.{context_window_at, norm_alnum, regexp_match_pos}
 
 /** Extraction stage: latest-snapshot dedup, deterministic text extraction
   * from html with the byte-identical invariant (input_hint / SURVEY.md §2.2
@@ -21,6 +21,32 @@ import graft.functions.{context_window, norm_alnum}
   * whole-stage-codegen'd built-ins.
   */
 object Extract {
+
+  /** URL canonicalization (SURVEY.md P13 — the reference's ICD9 code
+    * normalization, `main_scripts/rare_disease_id_util.py:370-394`, mapped to
+    * urls): lowercase scheme+host, https/http collapsed, `www.` stripped,
+    * fragment dropped, utm_* tracking params dropped (empty query removed),
+    * trailing slash trimmed. Without this, `http://www.a.com/x/` and
+    * `https://a.com/x` dedup as different pages. Pure regexp column math. */
+  def canonicalUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // scheme+host lowercased (path/query case is significant, host is not)
+    val hostLower = concat(
+      lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)),
+      regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1))
+    val scheme = regexp_replace(hostLower, "^http://", "https://")
+    val noWww = regexp_replace(scheme, "^(https://)www\\.", "$1")
+    val noFrag = regexp_replace(noWww, "#.*$", "")
+    val noUtm = regexp_replace(
+      regexp_replace(noFrag, "([?&])utm_[^&#]*", "$1"),
+      "[?&]+$|\\?&+", "?")
+    val cleanQ = regexp_replace(regexp_replace(noUtm, "\\?&", "?"), "\\?$", "")
+    regexp_replace(cleanQ, "(://[^/?#]+.+?)/+$", "$1")
+  }
+
+  /** Rewrite `url` to its canonical form (snapshot dedup then collapses
+    * scheme/www/tracking variants of the same page into one node). */
+  def canonicalized(pages: DataFrame): DataFrame =
+    pages.withColumn("url", canonicalUrl(col("url")))
 
   /** Keep the latest snapshot per url (warc_ts desc, html hash as a
     * deterministic tiebreak). SURVEY.md §2.10: warc_ts is a plain timestamp,
@@ -51,6 +77,12 @@ object Extract {
     * text of English pages. Output: (url, surface, begin, end, ctx).
     * ctx = ±`ctxWindow` tokens around the mention (reference context window,
     * `main_scripts/sent_bert_emb_viz_util.py:205-262`).
+    *
+    * Per-occurrence-correct: offsets come from the position-aware
+    * regexp_match_pos expression, and the context window is derived from the
+    * occurrence's own offset — a surface repeated later in a page gets its
+    * real begin/end and its own context (round-1 bug: instr/array_position
+    * bound every occurrence to the FIRST one).
     */
   def mentions(pages: DataFrame, ctxWindow: Int = 4): DataFrame = {
     val mentionRe = "[A-Z][A-Za-z0-9]*(?: [A-Z][A-Za-z0-9]*)*"
@@ -58,17 +90,20 @@ object Extract {
       .filter(col("lang") === "en" && col("invariant_ok"))
       .select(col("url"), extractedText(col("html")).as("text"))
       .select(col("url"), col("text"),
-        explode(expr(s"""regexp_extract_all(text, '$mentionRe', 0)""")).as("surface"))
+        explode(regexp_match_pos(col("text"), mentionRe)).as("m"))
+      .select(col("url"), col("text"),
+        col("m.m").as("surface"), col("m.pos").as("begin"))
       .filter(length(col("surface")) >= 2)
-      .withColumn("begin", expr("instr(text, surface)") - 1)
       .withColumn("end", col("begin") + length(col("surface")))
-      .withColumn("ctx", context_window(col("text"), col("surface"), ctxWindow))
+      .withColumn("ctx",
+        context_window_at(col("text"), col("surface"), col("begin"), ctxWindow))
       .withColumn("norm_key", norm_alnum(col("surface")))
       // stable mention id: blocking/pair-gen carry ONLY this id + url through
       // their shuffles; surface/ctx payloads are hydrated back after pair
       // dedup (late materialization — at 100 TB the band-duplicate pair rows
-      // would otherwise shuffle ~10x more bytes)
-      .withColumn("mention_id", xxhash64(col("url"), col("surface")))
+      // would otherwise shuffle ~10x more bytes). begin is part of the id so
+      // repeated occurrences stay distinct rows.
+      .withColumn("mention_id", xxhash64(col("url"), col("surface"), col("begin")))
       .drop("text")
   }
 }

@@ -98,6 +98,28 @@ object Scoring {
 
   /** Full scoring stage over id-only pairs + the mentions table. */
   def score(pairs: DataFrame, mentions: DataFrame, w: Weights = Weights(),
-      embedDim: Int = 256, seed: Long = 42L): DataFrame =
-    dedupBest(withScore(withFeatures(hydrate(pairs, mentions), embedDim, seed), w))
+      embedDim: Int = 256, seed: Long = 42L,
+      broadcastMentions: Boolean = true): DataFrame =
+    dedupBest(withScore(
+      withFeatures(hydrate(pairs, mentions, broadcastMentions), embedDim, seed), w))
+
+  /** Rule-gated ensemble decision (reference `evaluation_util.py:17-38`):
+    * when both weak rules fire the pair is a match, when neither fires it is
+    * a non-match, and only the disagreement region defers to the model score.
+    * Rules (graft analogues of the reference's mention-length / prevalence
+    * rules): both surfaces longer than `minSurfaceLen`, and the pair's block
+    * no larger than `maxPrevalence` (needs a `block_size` column; fall back
+    * to the model when absent). Pure CASE WHEN column math — codegen'd. */
+  def gatedMatch(scored: DataFrame, w: Weights = Weights(),
+      minSurfaceLen: Int = 8, maxPrevalence: Int = 64): DataFrame = {
+    val ruleLen = length(col("surface_a")) > minSurfaceLen &&
+      length(col("surface_b")) > minSurfaceLen
+    val rulePrev =
+      if (scored.columns.contains("block_size")) col("block_size") <= maxPrevalence
+      else lit(true)
+    scored.withColumn("is_match",
+      when(ruleLen && rulePrev, lit(true))
+        .when(!ruleLen && !rulePrev, lit(false))
+        .otherwise(col("score") > lit(w.threshold)))
+  }
 }

@@ -95,4 +95,12 @@ object TextOps {
     * text). */
   def withFingerprint(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("fingerprint", doc_fingerprint(col(textCol)))
+
+  /** Cross-engine-reproducible fingerprint variant: md5 hex of
+    * whitespace-normalized lowercase text. Slower than the xxhash64
+    * fingerprint (use that in the pipeline hot path) but independently
+    * checkable by any SQL engine. */
+  def withFingerprintMd5(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("fingerprint",
+      md5(regexp_replace(lower(col(textCol)), "\\s+", " ").cast("binary")))
 }

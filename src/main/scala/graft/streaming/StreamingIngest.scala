@@ -14,11 +14,19 @@ import graft.ops.Extract
   * pipeline's snapshot-dedup + extraction stages have exact streaming
   * equivalents:
   *
-  *  - latest-snapshot dedup  -> dropDuplicatesWithinWatermark("url") with a
-  *    warc_ts watermark (re-crawls outside the watermark are new versions);
+  *  - snapshot dedup -> dropDuplicatesWithinWatermark("url") with a warc_ts
+  *    watermark. NOT identical to the batch stage: it keeps the
+  *    FIRST-ARRIVING row per url inside the watermark, while batch
+  *    latestSnapshot keeps the max-warc_ts row — when two snapshots of one
+  *    url land in the same watermark window in ts-descending arrival order,
+  *    the two paths keep different rows. Exact latest-wins is restored at
+  *    sink compaction: run batch Extract.latestSnapshot over the committed
+  *    sink before blocking (which is what the product path below does);
   *  - extraction + invariant -> identical narrow projections (shared code);
   *  - downstream blocking/scoring stay batch jobs over the committed sink —
-  *    the streaming stage's parquet sink IS the batch pipeline's s0 input.
+  *    the streaming stage's parquet sink IS the batch pipeline's s0 input,
+  *    and s0 re-applies latestSnapshot, making the end-to-end result
+  *    arrival-order-independent.
   *
   * Tested with MemoryStream in StreamingSpec; at scale the source would be
   * `readStream.format("parquet"/"kafka")` over crawl deliveries.

@@ -64,6 +64,30 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("non-convergence within maxIter throws instead of returning partial clusters") {
+    val chain = (0 until 40).map(i => (f"n$i%03d", f"n${i + 1}%03d"))
+    val e = intercept[IllegalStateException] {
+      Clustering.connectedComponents(spark, chain.toDF("u", "v"), maxIter = 1)
+        .collect()
+    }
+    e.getMessage should include("did not converge")
+  }
+
+  test("roundsPerCut=1 and =3 produce identical clusterings") {
+    val rnd = new scala.util.Random(11)
+    val nodes = (0 until 40).map(i => f"w$i%02d")
+    val edges = (0 until 50).map { _ =>
+      (nodes(rnd.nextInt(nodes.size)), nodes(rnd.nextInt(nodes.size)))
+    }.filter { case (a, b) => a != b }
+    val df = edges.toDF("u", "v")
+    val m1 = Clustering.connectedComponents(spark, df, roundsPerCut = 1)
+      .as[(String, String)].collect().toMap
+    val m3 = Clustering.connectedComponents(spark, df, roundsPerCut = 3)
+      .as[(String, String)].collect().toMap
+    val covered = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    covered.foreach { n => m1.getOrElse(n, n) shouldBe m3.getOrElse(n, n) }
+  }
+
   test("clusters() assigns isolated nodes to themselves") {
     val matches = Seq(("a", "b", true), ("c", "d", false))
       .toDF("url_a", "url_b", "is_match")

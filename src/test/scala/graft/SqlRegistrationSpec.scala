@@ -23,4 +23,24 @@ class SqlRegistrationSpec extends SparkSpec {
       .as[Double].head()
     cos shouldBe 1.0 +- 1e-6
   }
+
+  test("register() parses optional literal args like the extensions path") {
+    GraftExtensions.register(spark)
+    // k/numHashes/seed literals must be honored, not silently defaulted
+    val n = spark.sql(
+      "SELECT size(minhash_sig('hello world', 5, 32, 7)) AS n").as[Int].head()
+    n shouldBe 32
+    val differentSeed = spark.sql(
+      """SELECT minhash_sig('hello world', 3, 16, 1) =
+         minhash_sig('hello world', 3, 16, 2) AS eq""").as[Boolean].head()
+    differentSeed shouldBe false
+  }
+
+  test("register() rejects excess arguments instead of ignoring them") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT jaro_winkler('a', 'b', 'c')").collect()
+    }
+    e.getMessage should include("arguments")
+  }
 }

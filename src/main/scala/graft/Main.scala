@@ -44,9 +44,13 @@ object Main {
 
     val t0 = System.nanoTime()
     val result = Pipeline.run(spark, Synth.pages(spark, p).toDF(),
-      Synth.dict(spark, p).toDF(), cfg)
+      Synth.dict(spark, p).toDF(), cfg,
+      taxonomyHops = Seq(
+        Synth.entityCategories(spark, p) -> "categories",
+        Synth.categorySupers(spark) -> "supercategories"))
     val nClusters = result.clusters.select("cluster_id").distinct().count()
     val nPairs = result.scored.count()
+    val nRolledDocs = result.docRollup.map(_.count()).getOrElse(0L)
     val wall = (System.nanoTime() - t0) / 1e9
 
     val gold = GoldGen.goldPairs(spark, p, cfg.maxBlock, cfg.saltThreshold, cfg.nSalts)
@@ -56,6 +60,7 @@ object Main {
 
     println(
       s"""{"pages":$nPages,"pairs":$nPairs,"clusters":$nClusters,""" +
+      s""""rolled_docs":$nRolledDocs,""" +
       s""""precision":${f1.getDouble(0)},"recall":${f1.getDouble(1)},""" +
       s""""f1":${f1.getDouble(2)},"wall_sec":$wall,""" +
       s""""pages_per_sec":${nPages / wall}}""")

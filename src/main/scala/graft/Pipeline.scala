@@ -59,7 +59,10 @@ case class PipelineResult(
     mentions: DataFrame,
     pairs: DataFrame,
     scored: DataFrame,
-    clusters: DataFrame)
+    clusters: DataFrame,
+    /** Per-document taxonomy rollup (url, entities, ...) — present when the
+      * run was given taxonomy hop dimensions. */
+    docRollup: Option[DataFrame] = None)
 
 object Pipeline {
 
@@ -108,7 +111,8 @@ object Pipeline {
   /** Full pipeline: pages -> clusters. Every stage checkpoints; a rerun with
     * resume=true picks up after the last committed stage (north_rule). */
   def run(spark: SparkSession, pagesIn: DataFrame, dict: DataFrame,
-      cfg: PipelineConfig): PipelineResult = {
+      cfg: PipelineConfig,
+      taxonomyHops: Seq[(DataFrame, String)] = Nil): PipelineResult = {
     val pending = scala.collection.mutable.Buffer.empty[Future[Unit]]
 
     val pages = stage(spark, cfg, "s0_pages", pending) {
@@ -144,10 +148,17 @@ object Pipeline {
         if (cfg.ccDurableIterations) Some(s"${cfg.checkpointDir}/cc") else None)
     }
 
+    // per-document taxonomy rollup (reference step9 admission-level agg):
+    // dictionary-linked entities chained through the hop dims, union-deduped
+    val rollup = if (taxonomyHops.isEmpty) None else Some(
+      stage(spark, cfg, "s6_doc_rollup", pending) {
+        graft.ops.Taxonomy.rollupFromMentions(mentions, dict, taxonomyHops)
+      })
+
     // all lineage metrics must be durable before the run is reported done
     // (resume correctness: a rerun's byte-identical-metrics check reads them)
     pending.foreach(Await.result(_, Duration.Inf))
 
-    PipelineResult(pages, mentions, pairs, scored, clusters)
+    PipelineResult(pages, mentions, pairs, scored, clusters, rollup)
   }
 }

@@ -131,6 +131,21 @@ object Synth {
     spark.createDataset(rows)
   }
 
+  /** Deterministic taxonomy dimensions — the ORDO→ICD10→ICD9 chain analogue
+    * (`main_scripts/rare_disease_id_util.py:278-322`): entity → category
+    * (29 categories by entity index) and category → supercategory (7). Tiny
+    * broadcast dims, like the reference's ontology sheets. */
+  def entityCategories(spark: SparkSession, p: SynthParams): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    entities(p.seed, p.nEntities)
+      .map(e => (e.entityId, f"C${e.idx % 29}%03d")).toDF("child", "parent")
+  }
+
+  def categorySupers(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    (0 until 29).map(c => (f"C$c%03d", s"S${c % 7}")).toDF("child", "parent")
+  }
+
   /** One logical page, derived purely from (params, id). */
   private[gen] def genPage(p: SynthParams, id: Long): (Page, String) = {
     val rng = new DetRng(HashUtil.mix(p.seed ^ (id * 0x2545f4914f6cdd1dL + 0x9e37L)))

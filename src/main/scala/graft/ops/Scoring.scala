@@ -27,10 +27,12 @@ import graft.functions._
   */
 object Scoring {
 
-  /** Ensemble weights + decision threshold. Fitted on the 5k-page fixture's
-    * validation split (logistic regression, then rounded), validated on
-    * 2k/5k/20k/100k test splits at F1 >= 0.9998. The negative lev/jac weights
-    * are the learned trap rule: "surfaces match exactly but contexts
+  /** Ensemble weights + decision threshold. The defaults are fixture-scale
+    * constants; `Training.fit` reproduces this structure IN-ENGINE from weak
+    * labels alone (IRLS over DataFrame aggregations + threshold sweep on the
+    * validation split) and passes the same F1 >= 0.99 gate — TrainingSpec —
+    * so nothing here depends on offline hand-fitting. The negative lev/jac
+    * weights are the learned trap rule: "surfaces match exactly but contexts
     * disagree" marks the shared-abbreviation ambiguity class as non-match —
     * the same job the reference's context model does against its ambiguous
     * frequent mentions (`main_scripts/sent_bert_emb_viz_util.py:926`). */

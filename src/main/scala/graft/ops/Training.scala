@@ -1,0 +1,187 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.norm_alnum
+
+/** In-engine weak-supervision training for the pairwise scorer — the Spark
+  * re-expression of the reference's core loop:
+  *
+  *  1. weak labels from the two rules — mention length > l AND concept
+  *     prevalence <= p => positive, NOT(i) AND NOT(ii) => negative, the
+  *     disagreement region is dropped
+  *     (`main_scripts/step1_tr_data_creat_ment_disamb.py:104,69-72,121-140`);
+  *  2. an L2 logistic regression fitted on those weak labels
+  *     (`main_scripts/sent_bert_emb_viz_util.py:809-812`) — here fitted
+  *     IN-ENGINE: every IRLS (Newton) step is ONE DataFrame aggregation
+  *     (20 map-side-combinable sums) + a driver-side 5x5 solve, so the fit
+  *     distributes over any training-set size (no feature matrix ever
+  *     leaves the executors; the driver sees only the 5x5 moments);
+  *  3. a decision threshold selected by sweeping every score cut in ONE
+  *     window pass over the validation split (the reference tunes its
+  *     hyperparameters on its first-400 validation slice,
+  *     `main_scripts/step3.4_train_and_test_model_for_mention_filtering.py`).
+  *
+  * This replaces hand-rounded constants in `Scoring.Weights`: the committed
+  * fit reproduces F1 >= 0.99 on the gold test split (TrainingSpec gate).
+  */
+object Training {
+
+  /** Feature columns of the similarity ensemble, in weight order. */
+  val FeatureCols: Seq[String] = Seq("jw", "lev", "jac", "cos")
+
+  /** Rule (i): both surfaces longer than `minLen` (reference mention-length
+    * rule). Rule (ii): both surfaces' normalized keys have corpus prevalence
+    * <= `maxPrevalence` (reference concept-prevalence rule — the hot-key /
+    * stop-key detector, SURVEY.md A3). Pairs where the rules agree get a
+    * weak label; the disagreement region is dropped (exactly the reference's
+    * AND / NAND construction). `featured` must carry surface_a/surface_b
+    * (post-hydration); `mentions` supplies the prevalence table (one hash
+    * agg + two broadcast joins — scales). */
+  def weakLabels(featured: DataFrame, mentions: DataFrame,
+      minLen: Int = 8, maxPrevalence: Double = 0.005): DataFrame = {
+    val total = mentions.count().toDouble
+    val prev = mentions
+      .select(norm_alnum(col("surface")).as("nk"))
+      .groupBy("nk").agg((count(lit(1)) / lit(total)).as("prevalence"))
+    val pa = broadcast(prev.select(col("nk").as("nk_a"), col("prevalence").as("prev_a")))
+    val pb = broadcast(prev.select(col("nk").as("nk_b"), col("prevalence").as("prev_b")))
+    val ruleLen = length(col("surface_a")) > minLen && length(col("surface_b")) > minLen
+    val rulePrev = col("prev_a") <= maxPrevalence && col("prev_b") <= maxPrevalence
+    featured
+      .withColumn("nk_a", norm_alnum(col("surface_a")))
+      .withColumn("nk_b", norm_alnum(col("surface_b")))
+      .join(pa, Seq("nk_a")).join(pb, Seq("nk_b"))
+      .withColumn("weak_label",
+        when(ruleLen && rulePrev, 1)
+          .when(!ruleLen && !rulePrev, 0))
+      .filter(col("weak_label").isNotNull)
+      .drop("nk_a", "nk_b", "prev_a", "prev_b")
+  }
+
+  /** One IRLS (iteratively reweighted least squares / Newton) fit of
+    * sigmoid(w·x + b) on `labelCol`, ridge-regularized. Each iteration runs
+    * ONE aggregation computing the gradient (5 sums) and the Hessian's upper
+    * triangle (15 sums) with the current weights as literals — fully
+    * codegen'd, map-side partial, no collect of data rows. Converges in
+    * <= ~10 iterations (Newton). Returns weights [w_jw, w_lev, w_jac, w_cos,
+    * bias]. */
+  def fitLogistic(labeled: DataFrame, labelCol: String = "weak_label",
+      maxIter: Int = 25, lambda: Double = 1e-3, tol: Double = 1e-9): Array[Double] = {
+    val d = FeatureCols.length + 1 // + bias
+    val w = new Array[Double](d)
+    val train = labeled.select(
+      (FeatureCols.map(c => col(c).cast("double").as(c)) :+
+        col(labelCol).cast("double").as("y")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cls = train.agg(min(col("y")), max(col("y"))).head()
+      require(cls.getDouble(0) != cls.getDouble(1),
+        s"weak labels are single-class (all ${cls.getDouble(0)}) — " +
+          "adjust minLen/maxPrevalence so both rule regions are populated")
+      def x(j: Int): Column = if (j < FeatureCols.length) col(FeatureCols(j)) else lit(1.0)
+      var iter = 0
+      var done = false
+      while (iter < maxIter && !done) {
+        val z = (0 until d).map(j => lit(w(j)) * x(j)).reduce(_ + _)
+        val p = lit(1.0) / (lit(1.0) + exp(-z))
+        val wgt = p * (lit(1.0) - p)
+        val gradCols = (0 until d).map(j => sum((p - col("y")) * x(j)).as(s"g$j"))
+        val hessCols = for (j <- 0 until d; k <- j until d)
+          yield sum(wgt * x(j) * x(k)).as(s"h${j}_$k")
+        val row = train.agg(gradCols.head, (gradCols.tail ++ hessCols): _*).head()
+        val g = (0 until d).map(j => row.getDouble(j) + lambda * w(j)).toArray
+        val h = Array.ofDim[Double](d, d)
+        var idx = d
+        for (j <- 0 until d; k <- j until d) {
+          h(j)(k) = row.getDouble(idx); h(k)(j) = h(j)(k); idx += 1
+        }
+        (0 until d).foreach(j => h(j)(j) += lambda)
+        val step = solve(h, g)
+        var delta = 0.0
+        (0 until d).foreach { j => w(j) -= step(j); delta += step(j) * step(j) }
+        done = delta < tol
+        iter += 1
+      }
+      w
+    } finally train.unpersist()
+  }
+
+  /** Gaussian elimination with partial pivoting for the tiny (d x d) Newton
+    * system — driver-side on the aggregated moments only. */
+  private def solve(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
+    val n = b0.length
+    val a = a0.map(_.clone())
+    val b = b0.clone()
+    for (col0 <- 0 until n) {
+      var piv = col0
+      for (r <- col0 + 1 until n) if (math.abs(a(r)(col0)) > math.abs(a(piv)(col0))) piv = r
+      val tmp = a(col0); a(col0) = a(piv); a(piv) = tmp
+      val tb = b(col0); b(col0) = b(piv); b(piv) = tb
+      val d = a(col0)(col0)
+      require(math.abs(d) > 1e-12, "singular Newton system")
+      for (r <- col0 + 1 until n) {
+        val f = a(r)(col0) / d
+        for (c <- col0 until n) a(r)(c) -= f * a(col0)(c)
+        b(r) -= f * b(col0)
+      }
+    }
+    val x = new Array[Double](n)
+    for (r <- (n - 1) to 0 by -1) {
+      var s = b(r)
+      for (c <- r + 1 until n) s -= a(r)(c) * x(c)
+      x(r) = s / a(r)(r)
+    }
+    x
+  }
+
+  /** F1-optimal decision threshold over `(score, gold)` rows in ONE window
+    * pass: group by score, cumulative tp/fp down the score-descending order,
+    * F1 at every cut, argmax (deterministic tiebreak: higher threshold).
+    * Returns the midpoint between the last included and first excluded
+    * score, so `score > threshold` reproduces the best cut exactly. The
+    * driver receives ONE row. */
+  def selectThreshold(scored: DataFrame, scoreCol: String = "score",
+      goldCol: String = "gold"): Double = {
+    val byScore = scored.groupBy(col(scoreCol).as("s"))
+      .agg(sum(col(goldCol).cast("long")).as("pos"), count(lit(1)).as("n"))
+    val wDesc = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totalPos = sum(col("pos")).over(
+      Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    val best = byScore
+      .withColumn("tp", sum(col("pos")).over(wDesc))
+      .withColumn("predPos", sum(col("n")).over(wDesc))
+      .withColumn("fp", col("predPos") - col("tp"))
+      .withColumn("fn", totalPos - col("tp"))
+      .withColumn("f1",
+        when(lit(2) * col("tp") + col("fp") + col("fn") === 0, lit(0.0))
+          .otherwise(lit(2.0) * col("tp") / (lit(2) * col("tp") + col("fp") + col("fn"))))
+      .withColumn("nextS", lead(col("s"), 1).over(Window.orderBy(col("s").desc)))
+      .orderBy(col("f1").desc, col("s").desc)
+      .select(col("s"), col("nextS"))
+      .head()
+    val sIncl = best.getDouble(0)
+    // threshold strictly below the worst included score: midpoint to the
+    // next score down, or just below when this cut includes everything
+    if (best.isNullAt(1)) sIncl - 1e-9 else (sIncl + best.getDouble(1)) / 2.0
+  }
+
+  /** End-to-end in-engine fit: weak labels -> IRLS weights -> threshold
+    * selected on the labeled validation split (reference procedure). Returns
+    * a ready-to-use `Scoring.Weights`. `featured` = hydrated pairs with the
+    * ensemble feature columns; `goldValid` = (url_a, url_b, gold) validation
+    * rows. */
+  def fit(featured: DataFrame, mentions: DataFrame, goldValid: DataFrame,
+      minLen: Int = 8, maxPrevalence: Double = 0.005): Scoring.Weights = {
+    val weak = weakLabels(featured, mentions, minLen, maxPrevalence)
+    val w = fitLogistic(weak)
+    val weights = Scoring.Weights(w(0), w(1), w(2), w(3), w(4), threshold = 0.0)
+    val scoredValid = Scoring.dedupBest(Scoring.withScore(featured, weights))
+      .join(goldValid, Seq("url_a", "url_b"))
+    val t = selectThreshold(scoredValid)
+    weights.copy(threshold = t)
+  }
+}

@@ -77,6 +77,34 @@ object Ann {
       .limit(k)
   }
 
+  /** Materialize the embeddings table PARTITIONED BY sign bucket: the
+    * "write bucketed, get pruning" scale path — a probed read then scans
+    * only (1 + nPlanes) of the 2^nPlanes partition directories instead of
+    * the full table (AnnTextOpsSpec asserts selectedPartitions < total).
+    * At 100 TB this is the difference between an O(n) scan per query and a
+    * ~((1+nPlanes)/2^nPlanes)·n probe. */
+  def writeBucketed(embs: DataFrame, path: String, nPlanes: Int = 8,
+      seed: Long = 42L, vecCol: String = "embedding"): Unit =
+    embs.withColumn("bucket", signBucket(col(vecCol), nPlanes, seed))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** LSH top-k over a bucket-partitioned table written by writeBucketed:
+    * the bucket filter is a partition filter, so the scan reads only the
+    * probed directories (verified by the pruning test). Must be called with
+    * the SAME nPlanes/seed as the write. */
+  def lshTopKBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
+      query: Array[Float], k: Int, nPlanes: Int = 8, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qBucket = bucketOf(query, nPlanes, seed)
+    val probes = (qBucket +: (0 until nPlanes).map(b => qBucket ^ (1 << b))).map(Int.box)
+    val q = array(query.map(lit): _*)
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(probes: _*))
+      .select(col(idCol), round(cosine_sim(col(vecCol), q), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Driver-side bucket of a literal query vector — must mirror signBucket's
     * arithmetic exactly (same xxhash64 seed/args). Uses Spark's XXH64 via a
     * one-row local relation to avoid duplicating hash internals. */

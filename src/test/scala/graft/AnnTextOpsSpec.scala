@@ -52,6 +52,34 @@ class AnnTextOpsSpec extends SparkSpec {
     lsh.head.getLong(0) shouldBe 0L
   }
 
+  test("bucketed write path: probed scan prunes partitions and matches lshTopK") {
+    val df = embs()
+    val q = df.orderBy("vec_id").select("embedding").head().getSeq[Float](0).toArray
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann").toString
+    try {
+      Ann.writeBucketed(df, dir, nPlanes = 8)
+      val totalParts = new java.io.File(dir).listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("bucket="))
+      totalParts should be > 9 // 200 random vecs spread over 256 buckets
+
+      val probed = Ann.lshTopKBucketed(spark, dir, q, 10, nPlanes = 8)
+      val scan = probed.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+      // partition pruning is real: at most the 9 probe buckets are read
+      scan.selectedPartitions.partitionCount should be <= 9
+      scan.selectedPartitions.partitionCount should be < totalParts
+
+      // and the pruned result equals the unbucketed lshTopK
+      val a = probed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = Ann.lshTopK(df, q, 10, nPlanes = 8)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      a shouldBe b
+    } finally {
+      scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("token counts") {
     val df = Seq(("a bb  ccc", 3), ("  x ", 1)).toDF("text", "expected")
     df.select(TextOps.wsTokenCount(col("text")).as("n"), col("expected"))

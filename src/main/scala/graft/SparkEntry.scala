@@ -228,14 +228,20 @@ object SparkEntry {
 
     // ---- rows-only (no SQL oracle): graft expressions + pipeline ----
     "g10_seeded_sample" -> ((s, d) => {
-      // O4-O6: seeded sampling surface (engine-specific RNG => rows-only)
+      // O4-O6: seeded sampling + permutation surface (engine-specific RNG =>
+      // rows-only). perm_first = first key of the content-derived seeded
+      // permutation per group — the reproducible shuffle (O4).
       val li = t(s, d, "lineitem")
       val frac = li.sample(withReplacement = false, 0.1, seed = 1234)
         .groupBy("l_returnflag").agg(count(lit(1)).as("n_sampled"))
       val strat = li.stat.sampleBy("l_returnflag",
         Map("R" -> 0.5, "A" -> 0.25, "N" -> 0.1), 1234L)
         .groupBy("l_returnflag").agg(count(lit(1)).as("n_stratified"))
+      val perm = li.groupBy("l_returnflag")
+        .agg(min_by(col("l_orderkey"), graft.functions.permutation_key(
+          1234L, col("l_orderkey"), col("l_linenumber"))).as("perm_first"))
       frac.join(strat, Seq("l_returnflag"), "left")
+        .join(perm, Seq("l_returnflag"), "left")
     }),
 
     "g01_er_clusters" -> ((s, _) => entry(s)),

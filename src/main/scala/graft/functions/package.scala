@@ -134,4 +134,13 @@ package object functions {
     * cheap exact-dup fingerprint for the documents pipeline. */
   def doc_fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Seeded permutation key (SURVEY.md O4): ordering by xxhash64(seed, keys)
+    * is a deterministic, distributed, order-independent shuffle — the
+    * reproducible analogue of the reference's random.Random(1234).shuffle
+    * (`main_scripts/step3.4_train_and_test_model_for_mention_filtering.py:139`).
+    * Unlike orderBy(rand(seed)), the permutation depends only on row CONTENT,
+    * so it survives repartitioning and reruns. */
+  def permutation_key(seed: Long, keys: Column*): Column =
+    xxhash64((lit(seed) +: keys): _*)
 }

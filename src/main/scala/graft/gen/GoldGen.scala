@@ -23,7 +23,12 @@ object GoldGen {
       Extract.latestSnapshot(Synth.pages(spark, p).toDF()))
     val mentions = Extract.mentions(pages)
     val dict = Synth.dict(spark, p).toDF()
+    // pairs are numeric-only (mid_a, mid_b, block_id); re-attach urls from
+    // the mention table like Scoring.hydrate does
+    val mu = mentions.select(col("mention_id"), col("url"))
     val pairs = Blocking.pairs(mentions, dict, maxBlock, saltThreshold, nSalts, p.seed)
+      .join(broadcast(mu.select(col("mention_id").as("mid_a"), col("url").as("url_a"))), Seq("mid_a"))
+      .join(broadcast(mu.select(col("mention_id").as("mid_b"), col("url").as("url_b"))), Seq("mid_b"))
 
     val truth = Synth.goldClusters(spark, p).toDF()
     val ta = truth.select(col("url").as("url_a"), col("cluster_id").as("ent_a"))

@@ -127,15 +127,19 @@ object Blocking {
   }
 
   /** Distinct candidate mention pairs with the (deterministic, min) shared
-    * block id. Narrow rows only: (mid_a, mid_b, url_a, url_b, block_id).
-    * urls are functionally dependent on mention ids, so they ride in the
-    * GROUP KEY (string grouping keys hash fine; string AGG BUFFERS do not)
-    * and the single aggregate buffer is one long — HashAggregate with
-    * map-side partial combine. */
+    * block id. FULLY numeric rows: (mid_a, mid_b, block_id) — three longs.
+    * The urls used for pair orientation (url_a < url_b, applied in
+    * candidatePairs) are functionally dependent on the mention ids, so they
+    * are DROPPED before the dedup shuffle and re-attached by
+    * Scoring.hydrate: this groupBy is the single heaviest shuffle in the
+    * pipeline (one row per band-duplicate candidate), and carrying ~60-char
+    * url strings through it tripled its byte volume (measured at 2.4M
+    * pages). mid_a always belongs to the lexicographically smaller url. */
   def pairsFromBlocks(cappedBlocks: DataFrame, saltThreshold: Int = 64,
       nSalts: Int = 16): DataFrame =
     candidatePairs(cappedBlocks, saltThreshold, nSalts)
-      .groupBy("mid_a", "mid_b", "url_a", "url_b")
+      .select("mid_a", "mid_b", "block_id")
+      .groupBy("mid_a", "mid_b")
       .agg(min(col("block_id")).as("block_id"))
 
   /** Full blocking stage: mentions + dict -> distinct candidate pairs.

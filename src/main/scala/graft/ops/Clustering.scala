@@ -73,19 +73,36 @@ object Clustering {
     * `checkpointDir`: when set, each materialization persists to parquet
     * (resumable lineage cut); otherwise localCheckpoint is used (tests).
     * `roundsPerCut`: large+small-star rounds fused into ONE materialization
-    * barrier. Iteration count is O(log n) but each barrier is a flat
-    * coordination cost that dominates small inputs and caps scaling
-    * efficiency (BENCH/BASELINE.md Amdahl decomposition) — fusing 2 rounds
-    * halves the barrier count at unchanged per-round shuffle volume.
-    * Convergence still checks the checksum of EVERY round (both observations
-    * ride the same job), so fusing never changes the result, only the number
-    * of lineage cuts. Throws on non-convergence within maxIter rounds —
-    * returning a half-converged edge set as final clusters would be silently
-    * wrong downstream.
+    * barrier. DEFAULT 1: both star transforms reference their input several
+    * times (union + agg + join), so an un-materialized previous round is
+    * RE-EXECUTED 4-6x inside the fused plan — measured at 600k pages, 2
+    * rounds/cut made CC 1.6x SLOWER (41s vs 26s) despite halving barriers.
+    * Fusing only pays where the barrier (driver coordination + commit)
+    * dominates recomputation, e.g. parquet-durable cuts on a slow store;
+    * the knob stays for that regime. Convergence still checks the checksum
+    * of EVERY fused round (all observations ride the same job), so fusing
+    * never changes the result. Throws on non-convergence within maxIter
+    * rounds — returning a half-converged edge set as final clusters would be
+    * silently wrong downstream.
     */
   def connectedComponents(spark: SparkSession, edges0: DataFrame,
       checkpointDir: Option[String] = None, maxIter: Int = 50,
-      roundsPerCut: Int = 2): DataFrame = {
+      roundsPerCut: Int = 1): DataFrame = {
+    // CC is coordination-bound: O(log n) rounds of SMALL shuffles. A
+    // data-scaled global shuffle-partition setting (right for the one-pass
+    // stages) multiplies per-round task count and made CC 3.5x slower at
+    // 2.4M pages (54s -> 189s at 32 -> 256 partitions, measured). Pin CC's
+    // shuffles to the core count and restore the session setting after.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(2, spark.sparkContext.defaultParallelism).toString)
+    try connectedComponentsInner(spark, edges0, checkpointDir, maxIter, roundsPerCut)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def connectedComponentsInner(spark: SparkSession, edges0: DataFrame,
+      checkpointDir: Option[String], maxIter: Int,
+      roundsPerCut: Int): DataFrame = {
     var edges = edges0.select(col("u"), col("v"))
       .filter(col("u") =!= col("v")).distinct()
     var last: (Long, BigDecimal) = (-1L, BigDecimal(-1))

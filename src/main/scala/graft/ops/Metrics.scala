@@ -81,6 +81,33 @@ object Metrics {
       .crossJoin(grouped("doc", "instance_f1"))
   }
 
+  /** FP/FN decomposition by cause (reference
+    * `main_scripts/step7.5_error_analysis.py:42,65` buckets its FP/FN rows by
+    * error source): one aggregation over gold⟕preds emitting a count per
+    * cause bucket —
+    *  - fn_no_candidate: gold match never generated as a candidate pair
+    *    (blocking miss);
+    *  - fn_scored_low: candidate existed, scorer said no;
+    *  - fp_identical_surface: false match with byte-identical surfaces (the
+    *    shared-abbreviation trap class);
+    *  - fp_other: any other false match.
+    * Scales: broadcast-or-shuffle left join + one hash agg. */
+  def errorAnalysis(scored: DataFrame, goldPairs: DataFrame): DataFrame = {
+    val preds = scored.select(col("url_a"), col("url_b"),
+      col("is_match").cast("int").as("pred"),
+      col("surface_a"), col("surface_b"))
+    val joined = goldPairs.join(preds, Seq("url_a", "url_b"), "left")
+    val cause = when(col("gold") === 1 && col("pred").isNull, "fn_no_candidate")
+      .when(col("gold") === 1 && col("pred") === 0, "fn_scored_low")
+      .when(col("gold") === 0 && col("pred") === 1 &&
+        col("surface_a") === col("surface_b"), "fp_identical_surface")
+      .when(col("gold") === 0 && col("pred") === 1, "fp_other")
+    joined.withColumn("cause", cause)
+      .filter(col("cause").isNotNull)
+      .groupBy("cause").agg(count(lit(1)).as("n"))
+      .orderBy("cause")
+  }
+
   /** Per-partition lineage rows for a stage's output. */
   def stageMetrics(df: DataFrame, runId: String, stage: String,
       wallMs: Long): DataFrame =

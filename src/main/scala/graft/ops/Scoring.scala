@@ -56,12 +56,13 @@ object Scoring {
     * — still far cheaper than shuffling hydrated rows through blocking. */
   def hydrate(pairs: DataFrame, mentions: DataFrame,
       broadcastMentions: Boolean = true): DataFrame = {
-    val proj = mentions.select(col("mention_id"), col("surface"), col("ctx"))
+    val proj = mentions.select(col("mention_id"), col("url"),
+      col("surface"), col("ctx"))
     val m = if (broadcastMentions) broadcast(proj) else proj
     pairs
-      .join(m.select(col("mention_id").as("mid_a"),
+      .join(m.select(col("mention_id").as("mid_a"), col("url").as("url_a"),
         col("surface").as("surface_a"), col("ctx").as("ctx_a")), Seq("mid_a"))
-      .join(m.select(col("mention_id").as("mid_b"),
+      .join(m.select(col("mention_id").as("mid_b"), col("url").as("url_b"),
         col("surface").as("surface_b"), col("ctx").as("ctx_b")), Seq("mid_b"))
   }
 
@@ -89,21 +90,34 @@ object Scoring {
     * rewrite (partial per-key top-1 BEFORE the shuffle — the map-side-combine
     * equivalent for top-k). */
   def dedupBest(scored: DataFrame): DataFrame = {
+    // tiebreak on the numeric mention ids when present (cheaper sort keys
+    // than surface strings; deterministic either way)
+    val tiebreak =
+      if (scored.columns.contains("mid_a"))
+        Seq(col("block_id").asc, col("mid_a").asc, col("mid_b").asc)
+      else Seq(col("block_id").asc, col("surface_a").asc, col("surface_b").asc)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("url_a"), col("url_b"))
-      .orderBy(col("score").desc, col("block_id").asc,
-        col("surface_a").asc, col("surface_b").asc)
+      .orderBy(col("score").desc +: tiebreak: _*)
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
 
-  /** Full scoring stage over id-only pairs + the mentions table. */
+  /** Full scoring stage over id-only pairs + the mentions table.
+    *
+    * ctx_a/ctx_b are dropped as soon as the features are computed: the
+    * context strings are pure feature inputs (nothing downstream reads
+    * them), they are the WIDEST columns in the row, and they would
+    * otherwise ride through the best-pair window shuffle AND the stage's
+    * parquet write — measured at 2.4M pages, they are most of a 9.5GB
+    * stage output. Keep rows narrow the moment a column's job is done. */
   def score(pairs: DataFrame, mentions: DataFrame, w: Weights = Weights(),
       embedDim: Int = 256, seed: Long = 42L,
       broadcastMentions: Boolean = true): DataFrame =
     dedupBest(withScore(
-      withFeatures(hydrate(pairs, mentions, broadcastMentions), embedDim, seed), w))
+      withFeatures(hydrate(pairs, mentions, broadcastMentions), embedDim, seed), w)
+      .drop("ctx_a", "ctx_b"))
 
   /** Rule-gated ensemble decision (reference `evaluation_util.py:17-38`):
     * when both weak rules fire the pair is a match, when neither fires it is

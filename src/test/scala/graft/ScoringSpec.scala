@@ -38,17 +38,19 @@ class ScoringSpec extends SparkSpec {
     Scoring.gatedMatch(df).select("is_match").as[Boolean].head() shouldBe true
   }
 
-  test("hydrate with broadcastMentions=false produces the same rows") {
+  test("hydrate attaches urls+payloads; broadcast and shuffle joins agree") {
     val mentions = Seq(
-      (1L, "Alpha", "ctx a"), (2L, "Beta", "ctx b"), (3L, "Gamma", "ctx c"))
-      .toDF("mention_id", "surface", "ctx")
-    val pairs = Seq((1L, 2L, "u1", "u2"), (1L, 3L, "u1", "u3"))
-      .toDF("mid_a", "mid_b", "url_a", "url_b")
+      (1L, "u1", "Alpha", "ctx a"), (2L, "u2", "Beta", "ctx b"),
+      (3L, "u3", "Gamma", "ctx c"))
+      .toDF("mention_id", "url", "surface", "ctx")
+    val pairs = Seq((1L, 2L, 7L), (1L, 3L, 7L))
+      .toDF("mid_a", "mid_b", "block_id")
     val a = Scoring.hydrate(pairs, mentions, broadcastMentions = true)
       .orderBy("mid_a", "mid_b").collect()
     val b = Scoring.hydrate(pairs, mentions, broadcastMentions = false)
       .orderBy("mid_a", "mid_b").collect()
     a should contain theSameElementsAs b
     a.length shouldBe 2
+    a.map(_.getAs[String]("url_b")).sorted shouldBe Array("u2", "u3")
   }
 }

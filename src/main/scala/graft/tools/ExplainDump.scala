@@ -43,9 +43,13 @@ object ExplainDump {
     dump("s2_blocks", blocks)
     dump("s3_pairs", Blocking.pairsFromBlocks(blocks))
     dump("s4_scored", Scoring.score(Blocking.pairsFromBlocks(blocks), mentions))
+    dump("s6_doc_rollup", graft.ops.Taxonomy.rollupFromMentions(mentions, dict,
+      Seq(Synth.entityCategories(spark, p) -> "categories",
+        Synth.categorySupers(spark) -> "supercategories")))
 
     Seq("q01_agg", "q03_join_broadcast", "q07_multi_join", "q12_window_topn",
-      "q19_docs_exact_dedup", "q24_emb_brute_topk").foreach { q =>
+      "q19_docs_exact_dedup", "q24_emb_brute_topk", "q27_rule_gated",
+      "q28_taxonomy_rollup").foreach { q =>
       dump(q, SparkEntry.queries(q)(spark, sfDir))
     }
     spark.stop()

@@ -110,6 +110,90 @@ object SetSims {
   }
 }
 
+object SetSimsColumns {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  /** Column form of the shingle hash set: sorted deduped longs. */
+  def shingleHashesArray(s: UTF8String, k: Int): GenericArrayData =
+    new GenericArrayData(SetSims.shingleHashes(s.toString, k))
+
+  /** Column form of the word n-gram hash set. */
+  def ngramHashesArray(s: UTF8String, n: Int): GenericArrayData =
+    new GenericArrayData(SetSims.ngramHashes(s.toString, n))
+
+  /** Jaccard of two SORTED deduped long arrays (merge-count, O(|a|+|b|)).
+    * The pair-verification kernel when the per-document hash sets are
+    * precomputed once instead of re-derived from text for every candidate
+    * pair the document appears in. */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 1.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+}
+
+/** Per-document k-char-shingle hash set as a sorted ARRAY<LONG> column —
+  * compute once per document, verify pairs with SortedJaccardExpr. */
+case class ShingleHashesExpr(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hashes"
+  override protected def nullSafeEval(t: Any): Any =
+    SetSimsColumns.shingleHashesArray(t.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.SetSimsColumns.shingleHashesArray($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-document word n-gram hash set as a sorted ARRAY<LONG> column. */
+case class NgramHashesExpr(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ngram_hashes"
+  override protected def nullSafeEval(t: Any): Any =
+    SetSimsColumns.ngramHashesArray(t.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.SetSimsColumns.ngramHashesArray($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Jaccard over two precomputed sorted hash-set columns. */
+case class SortedJaccardExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_jaccard"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SetSimsColumns.jaccardSorted(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.SetSimsColumns.jaccardSorted($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class ShingleJaccardExpr(left: Expression, right: Expression, k: Int)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType

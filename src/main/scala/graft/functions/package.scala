@@ -126,6 +126,20 @@ package object functions {
   def shingle_jaccard(a: Column, b: Column, k: Int = 5): Column =
     e2col(ShingleJaccardExpr(col2e(a.cast("string")), col2e(b.cast("string")), k))
 
+  /** Per-document sorted k-shingle hash set (ARRAY<LONG>) — precompute once
+    * per doc, verify candidate pairs with sorted_jaccard (a doc in p pairs
+    * is shingled once, not p times). */
+  def shingle_hashes(text: Column, k: Int = 5): Column =
+    e2col(ShingleHashesExpr(col2e(text.cast("string")), k))
+
+  /** Per-document sorted word n-gram hash set (ARRAY<LONG>). */
+  def ngram_hashes(text: Column, n: Int = 3): Column =
+    e2col(NgramHashesExpr(col2e(text.cast("string")), n))
+
+  /** Jaccard of two precomputed sorted hash-set columns (merge-count). */
+  def sorted_jaccard(a: Column, b: Column): Column =
+    e2col(SortedJaccardExpr(col2e(a), col2e(b)))
+
   /** Exact word n-gram Jaccard (hashed grams, codegen'd kernel). */
   def word_ngram_jaccard(a: Column, b: Column, n: Int = 3): Column =
     e2col(WordNgramJaccardExpr(col2e(a.cast("string")), col2e(b.cast("string")), n))

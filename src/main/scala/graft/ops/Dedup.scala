@@ -72,11 +72,16 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
     val cands = minhashCandidates(docs, idCol, textCol, seed = seed)
-    val texts = docs.select(col(idCol).as("id"), lower(col(textCol)).as("t"))
+    // precompute each doc's sorted shingle-hash set ONCE: a doc appearing in
+    // p candidate pairs was previously re-shingled p times inside the
+    // per-pair kernel (O(L log L) each); now verification is a merge-count
+    // over two cached arrays
+    val texts = docs.select(col(idCol).as("id"),
+      shingle_hashes(lower(col(textCol)), 5).as("sh"))
     val verified = cands
-      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("t", "t_a"), "id_a")
-      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("t", "t_b"), "id_b")
-      .withColumn("jaccard", shingle_jaccard(col("t_a"), col("t_b"), 5))
+      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard", sorted_jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"))
     clusterDups(spark, verified, docs, idCol)
@@ -116,11 +121,13 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
       threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
     val cands = minhashCandidates(docs, idCol, textCol, seed = seed)
-    val texts = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+    // same precompute-once trick as minhashNearDup, over word n-gram sets
+    val texts = docs.select(col(idCol).as("id"),
+      ngram_hashes(col(textCol), n).as("sh"))
     val verified = cands
-      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("t", "t_a"), "id_a")
-      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("t", "t_b"), "id_b")
-      .withColumn("jaccard", word_ngram_jaccard(col("t_a"), col("t_b"), n))
+      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard", sorted_jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b")
     clusterDups(spark, verified, docs, idCol)

@@ -216,4 +216,26 @@ class SetSimsSpec extends SparkSpec {
       j shouldBe expected +- 1e-12
     }
   }
+
+  test("precomputed sorted hash sets verify identically to the pair kernels") {
+    import graft.functions.{ngram_hashes, shingle_hashes, sorted_jaccard}
+    val rnd = new scala.util.Random(9)
+    import spark.implicits._
+    val rows = (0 until 60).map { _ =>
+      def str() = (0 until rnd.nextInt(40))
+        .map(_ => "ab cde ".charAt(rnd.nextInt(7))).mkString
+      (str(), str())
+    }
+    val df = rows.toDF("a", "b")
+    val pairKernel = df.select(
+      shingle_jaccard(col("a"), col("b"), 5).as("sj"),
+      word_ngram_jaccard(col("a"), col("b"), 3).as("nj")).collect()
+    val precomputed = df.select(
+      sorted_jaccard(shingle_hashes(col("a"), 5), shingle_hashes(col("b"), 5)).as("sj"),
+      sorted_jaccard(ngram_hashes(col("a"), 3), ngram_hashes(col("b"), 3)).as("nj")).collect()
+    pairKernel.zip(precomputed).foreach { case (p, q) =>
+      q.getDouble(0) shouldBe p.getDouble(0) +- 1e-12
+      q.getDouble(1) shouldBe p.getDouble(1) +- 1e-12
+    }
+  }
 }

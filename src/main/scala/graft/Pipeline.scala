@@ -48,11 +48,13 @@ case class PipelineConfig(
       * NARROW pair rows beyond that (ops/Scoring.scala hydrate doc). */
     broadcastMentions: Option[Boolean] = None,
     /** Auto-switch threshold for broadcastMentions=None: broadcast the
-      * mentions projection iff its row count (a cheap parquet-metadata count
-      * on the committed s1 checkpoint) is at most this. ~30M rows of
-      * (mention_id, surface, ctx) ≈ low single-digit GiB — the practical
-      * executor broadcast ceiling. */
-    broadcastMentionsMaxRows: Long = 30000000L)
+      * mentions projection iff its estimated in-memory size — Σ(|surface| +
+      * |ctx| + |url|) + per-row overhead, one cheap scan of the committed s1
+      * checkpoint — is at most this. Sized by BYTES, not rows: the projection
+      * carries ctx strings whose width varies 100x with ctxWindow, and a
+      * row-count gate could sail past Spark's 8 GiB broadcast-table hard
+      * limit (and driver memory) on wide contexts. Default 2 GiB. */
+    broadcastMentionsMaxBytes: Long = 2L * 1024 * 1024 * 1024)
 
 case class PipelineResult(
     pages: DataFrame,
@@ -124,9 +126,28 @@ object Pipeline {
     }
 
     // blocks are materialized as their own checkpoint: the pair self-join
-    // reads them multiple times, and a resumed run skips re-blocking
+    // reads them multiple times, and a resumed run skips re-blocking. The
+    // uncapped-block cache backing capBlocks' three consumers is released as
+    // soon as the checkpoint is written (cleanup passed through the stage).
+    val s2Resumed = cfg.resume && committed(stagePath(cfg, "s2_blocks"))
+    var releaseBlocks: () => Unit = () => ()
     val blocks = stage(spark, cfg, "s2_blocks", pending) {
-      Blocking.blocks(mentions, dict, cfg.maxBlock, cfg.seed)
+      val (b, release) = Blocking.blocksManaged(mentions, dict, cfg.maxBlock, cfg.seed)
+      releaseBlocks = release
+      b
+    }
+    releaseBlocks()
+    // no silent truncation: mentions dropped by the per-block rank cap go
+    // into the lineage/metrics table (block_size in the checkpoint is the
+    // true pre-cap size, so this is one cheap agg over the checkpoint)
+    if (!s2Resumed) {
+      val dropped = Blocking.cappedDropCount(blocks, cfg.maxBlock)
+      val write = Future {
+        Metrics.countMetric(spark, cfg.runId, "s2_blocks",
+            "dropped_mentions", dropped)
+          .write.mode("append").parquet(s"${cfg.checkpointDir}/metrics")
+      }(metricsEc)
+      pending += write
     }
 
     val pairs = stage(spark, cfg, "s3_pairs", pending) {
@@ -134,10 +155,15 @@ object Pipeline {
     }
 
     val scored = stage(spark, cfg, "s4_scored", pending) {
-      // size-based auto: mentions is a committed parquet checkpoint, so the
-      // count is a metadata-cheap scan, paid only when the stage recomputes
-      val bcast = cfg.broadcastMentions.getOrElse(
-        mentions.count() <= cfg.broadcastMentionsMaxRows)
+      // byte-based auto: one cheap scan of the committed s1 checkpoint
+      // summing the projection's string payload (+24B/row envelope), paid
+      // only when the stage recomputes
+      val bcast = cfg.broadcastMentions.getOrElse {
+        val bytes = mentions.agg(coalesce(sum(
+          length(col("surface")) + length(col("ctx")) + length(col("url")) +
+            lit(24)), lit(0L))).head().getLong(0)
+        bytes <= cfg.broadcastMentionsMaxBytes
+      }
       Scoring.score(pairs, mentions, cfg.weights, cfg.embedDim, cfg.seed,
         broadcastMentions = bcast)
     }

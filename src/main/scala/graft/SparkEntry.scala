@@ -32,11 +32,15 @@ object SparkEntry {
     val pages = Extract.withInvariant(
       Extract.latestSnapshot(Synth.pages(spark, p).toDF()))
     val mentions = Extract.mentions(pages)
-    val pairs = graft.ops.Blocking.pairs(mentions, Synth.dict(spark, p).toDF())
+    val (pairs, releaseBlocks) =
+      graft.ops.Blocking.pairsManaged(mentions, Synth.dict(spark, p).toDF())
     val scored = Scoring.score(pairs, mentions)
-    graft.ops.Clustering.clusters(spark, scored,
+    val clusters = graft.ops.Clustering.clusters(spark, scored,
       pages.filter(col("lang") === "en"))
-      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    // CC materializes its input eagerly inside clusters(), so the block
+    // caches are fully consumed here — release them (no session-lifetime leak)
+    releaseBlocks()
+    clusters.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
       .filter(col("cluster_size") > 1)
   }
 

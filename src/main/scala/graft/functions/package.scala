@@ -113,8 +113,16 @@ package object functions {
     val tokens = split(text, "\\s+")
     val sTokens = split(surface, "\\s+")
     val prefix = trim(text.substr(lit(1), begin.cast("int")))
-    val nBefore = when(length(prefix) === 0, lit(0))
+    // when the occurrence is glued to preceding non-whitespace (e.g.
+    // "(Gadget"), the prefix's trailing fragment "(" and the mention's first
+    // token are the SAME whitespace-token — counting the fragment as a full
+    // token would shift the window one token right of the true occurrence
+    val glued = begin > 0 &&
+      text.substr(begin.cast("int"), lit(1)).rlike("\\S")
+    val nBeforeRaw = when(length(prefix) === 0, lit(0))
       .otherwise(size(split(prefix, "\\s+")))
+    val nBefore = when(glued, greatest(nBeforeRaw - 1, lit(0)))
+      .otherwise(nBeforeRaw)
     val idx = nBefore + 1 // 1-based token index of the mention's first token
     val start = greatest(lit(1), (idx - w).cast("int"))
     // end stays anchored at mention_end + w even when start clamps to 1

@@ -63,15 +63,51 @@ object Blocking {
   def allBlocks(mentions: DataFrame, dict: DataFrame, seed: Long = 42L): DataFrame =
     dictBlocks(mentions, dict).unionByName(lshBlocks(mentions, seed))
 
-  /** Drop blocks larger than maxBlock (stop-key rule) and attach block_size.
-    * One aggregation + join back; the aggregation is map-side partial so the
-    * shuffle carries only (block_key, count). */
+  /** Cap blocks at maxBlock mentions (stop-key rule, graceful form) and
+    * attach block_size (the TRUE pre-cap size — it is the prevalence signal
+    * the gated scorer reads; reference 25-per-mention cap analogue:
+    * `main_scripts/sent_bert_emb_viz_util.py:454-469`).
+    *
+    * Round-2 semantics dropped oversized blocks WHOLE — at web scale that
+    * throws away all recall on popular entities. Now an oversized block keeps
+    * its top-maxBlock mentions by a deterministic hash rank (content-derived,
+    * so the kept subset is stable across partitionings and reruns), via a
+    * rank<=k window that gets the WindowGroupLimit rewrite (partial top-k
+    * before the shuffle). pairs(capped) ⊆ pairs(uncapped) by construction
+    * (BlockingSpec property test).
+    *
+    * Cost shape: the size aggregation shuffles only (block_key, count)
+    * partials; cold blocks (the overwhelming majority) take the join-only
+    * path with NO row shuffle (sizes broadcast); only rows of oversized
+    * blocks — bounded by the skew tail — pay the window sort. The input is
+    * read by three consumers (sizes agg + cold + hot), so callers on an
+    * expensive input should persist it (blocks() does). */
   def capBlocks(blocks: DataFrame, maxBlock: Int): DataFrame = {
     val sizes = blocks.groupBy("block_key")
       .agg(count(lit(1)).as("block_size"))
-      .filter(col("block_size") <= maxBlock)
-    blocks.join(sizes, Seq("block_key"))
+    val withSize = blocks.join(sizes, Seq("block_key"))
+    val cold = withSize.filter(col("block_size") <= maxBlock)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("block_key"))
+      .orderBy(xxhash64(col("block_key"), col("mention_id")).asc,
+        col("mention_id").asc)
+    val hot = withSize.filter(col("block_size") > maxBlock)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= maxBlock)
+      .drop("__rk")
+    cold.unionByName(hot)
   }
+
+  /** Mentions dropped by the rank cap, from a CAPPED blocks table alone:
+    * block_size is the true pre-cap size, so dropped = Σ max(0, size - cap)
+    * over distinct blocks — one cheap aggregation, no recompute of the
+    * uncapped table. Feed into the metrics/lineage table (no silent
+    * truncation: the cap is the pipeline's most important drop point). */
+  def cappedDropCount(cappedBlocks: DataFrame, maxBlock: Int): Long =
+    cappedBlocks.select(col("block_key"), col("block_size")).distinct()
+      .agg(coalesce(sum(greatest(col("block_size") - maxBlock, lit(0))),
+        lit(0L)).as("dropped"))
+      .head().getLong(0)
 
   /** Capped blocks table — the blocking stage's materialization point
     * (Pipeline checkpoints it; the self-join reads it several times).
@@ -79,14 +115,30 @@ object Blocking {
     * NUMERIC id — string min/first aggregates force SortAggregate (string agg
     * buffers cannot hash-aggregate), which sorted the entire pre-dedup pair
     * set; a rare 64-bit collision only merges two blocks' candidates, which
-    * the scorer re-separates. */
-  def blocks(mentions: DataFrame, dict: DataFrame, maxBlock: Int = 1024,
-      seed: Long = 42L, persist: Boolean = false): DataFrame = {
-    val b = capBlocks(allBlocks(mentions, dict, seed), maxBlock)
+    * the scorer re-separates.
+    *
+    * The UNCAPPED block table is always cached here: capBlocks reads it three
+    * times (size agg + cold + hot branches) and it holds the expensive LSH
+    * signatures. Returns a cleanup handle releasing that cache (plus the
+    * capped cache when persistCapped) — call it once the blocks table has
+    * been materialized (checkpoint write / CC convergence). */
+  def blocksManaged(mentions: DataFrame, dict: DataFrame, maxBlock: Int = 1024,
+      seed: Long = 42L, persistCapped: Boolean = false): (DataFrame, () => Unit) = {
+    val raw = allBlocks(mentions, dict, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = capBlocks(raw, maxBlock)
       .withColumn("block_id", xxhash64(col("block_key")))
-    if (persist) b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else b
+    if (persistCapped) {
+      val bp = b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (bp, () => { bp.unpersist(); raw.unpersist(); () })
+    } else (b, () => { raw.unpersist(); () })
   }
+
+  /** Unmanaged wrapper (tests / one-shot tools): caches live for the session
+    * lifetime — prefer blocksManaged anywhere long-lived. */
+  def blocks(mentions: DataFrame, dict: DataFrame, maxBlock: Int = 1024,
+      seed: Long = 42L, persist: Boolean = false): DataFrame =
+    blocksManaged(mentions, dict, maxBlock, seed, persistCapped = persist)._1
 
   /** Candidate pairs within each block, url_a < url_b, exactly once per
     * (block_key, mention pair). Blocks with block_size > saltThreshold go
@@ -142,10 +194,19 @@ object Blocking {
       .groupBy("mid_a", "mid_b")
       .agg(min(col("block_id")).as("block_id"))
 
-  /** Full blocking stage: mentions + dict -> distinct candidate pairs.
-    * Persists the intermediate blocks table across the self-join branches. */
+  /** Full blocking stage: mentions + dict -> distinct candidate pairs, plus
+    * a cleanup handle for the two caches (raw + capped blocks) backing the
+    * self-join branches. Release after the pair set is materialized. */
+  def pairsManaged(mentions: DataFrame, dict: DataFrame, maxBlock: Int = 1024,
+      saltThreshold: Int = 64, nSalts: Int = 16,
+      seed: Long = 42L): (DataFrame, () => Unit) = {
+    val (b, release) = blocksManaged(mentions, dict, maxBlock, seed,
+      persistCapped = true)
+    (pairsFromBlocks(b, saltThreshold, nSalts), release)
+  }
+
+  /** Unmanaged wrapper — caches live for the session lifetime. */
   def pairs(mentions: DataFrame, dict: DataFrame, maxBlock: Int = 1024,
       saltThreshold: Int = 64, nSalts: Int = 16, seed: Long = 42L): DataFrame =
-    pairsFromBlocks(blocks(mentions, dict, maxBlock, seed, persist = true),
-      saltThreshold, nSalts)
+    pairsManaged(mentions, dict, maxBlock, saltThreshold, nSalts, seed)._1
 }

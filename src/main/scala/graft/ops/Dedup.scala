@@ -42,11 +42,14 @@ object Dedup {
         i => text.substr(i, lit(k)))))
 
   /** Candidate near-dup pairs from shared MinHash-LSH bands over the full
-    * document text. maxBucket drops degenerate buckets (boilerplate storms)
-    * — the stop-key rule again. */
-  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+    * document text, plus a cleanup handle releasing the cached band table.
+    * maxBucket drops degenerate buckets (boilerplate storms) — the stop-key
+    * rule again. The cache MUST be released by the caller once the candidate
+    * set has been fully consumed (try/finally) — the round-2 version leaked
+    * one MEMORY_AND_DISK cache per invocation for the session lifetime. */
+  def minhashCandidatesManaged(docs: DataFrame, idCol: String, textCol: String,
       bands: Int = 16, rows: Int = 4, maxBucket: Int = 256,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L): (DataFrame, () => Unit) = {
     // persist: the keyed (minhash over full text) subtree feeds the
     // bucket-size agg, the join back, AND both sides of the self-join —
     // without it the expensive signature is recomputed ~3x (same rationale
@@ -59,32 +62,49 @@ object Dedup {
     val sized = keyed.groupBy("bucket").agg(count(lit(1)).as("n"))
       .filter(col("n") <= maxBucket && col("n") > 1)
     val inBuckets = keyed.join(sized, "bucket")
-    inBuckets.as("a").join(inBuckets.as("b"),
+    val cands = inBuckets.as("a").join(inBuckets.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    (cands, () => { keyed.unpersist(); () })
+  }
+
+  /** Unmanaged candidate view (tests / one-shot sessions): no cache, so the
+    * band table is recomputed by each consumer — prefer
+    * minhashCandidatesManaged in anything long-lived. */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int = 16, rows: Int = 4, maxBucket: Int = 256,
+      seed: Long = 42L): DataFrame = {
+    val (cands, _) =
+      minhashCandidatesManaged(docs, idCol, textCol, bands, rows, maxBucket, seed)
+    cands
   }
 
   /** MinHash near-dup: LSH candidates verified by exact character-shingle
     * Jaccard >= threshold. Output: (doc_id, dup_of) for every duplicate doc
-    * (dup_of = min doc id of its near-dup cluster, via CC). */
+    * (dup_of = min doc id of its near-dup cluster, via CC). Safe to release
+    * the candidate cache on return: clusterDups' CC loop materializes its
+    * input eagerly (checkpointed cuts), so the returned frame reads only the
+    * final CC checkpoint. */
   def minhashNearDup(spark: SparkSession, docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
-    val cands = minhashCandidates(docs, idCol, textCol, seed = seed)
-    // precompute each doc's sorted shingle-hash set ONCE: a doc appearing in
-    // p candidate pairs was previously re-shingled p times inside the
-    // per-pair kernel (O(L log L) each); now verification is a merge-count
-    // over two cached arrays
-    val texts = docs.select(col(idCol).as("id"),
-      shingle_hashes(lower(col(textCol)), 5).as("sh"))
-    val verified = cands
-      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("jaccard", sorted_jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"))
-    clusterDups(spark, verified, docs, idCol)
+    val (cands, release) = minhashCandidatesManaged(docs, idCol, textCol, seed = seed)
+    try {
+      // precompute each doc's sorted shingle-hash set ONCE: a doc appearing in
+      // p candidate pairs was previously re-shingled p times inside the
+      // per-pair kernel (O(L log L) each); now verification is a merge-count
+      // over two cached arrays
+      val texts = docs.select(col(idCol).as("id"),
+        shingle_hashes(lower(col(textCol)), 5).as("sh"))
+      val verified = cands
+        .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("jaccard", sorted_jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"))
+      clusterDups(spark, verified, docs, idCol)
+    } finally release()
   }
 
   /** SimHash near-dup: 64-bit simhash banded into 4x16-bit bands (any shared
@@ -101,17 +121,19 @@ object Dedup {
             shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL)))): _*))
           .as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sized = banded.groupBy("bucket").agg(count(lit(1)).as("n"))
-      .filter(col("n") <= maxBucket && col("n") > 1)
-    val inB = banded.join(sized, "bucket")
-    val cands = inB.as("a").join(inB.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
-      .distinct()
-      .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= maxHamming)
-      .select("id_a", "id_b")
-    clusterDups(spark, cands, docs, idCol)
+    try {
+      val sized = banded.groupBy("bucket").agg(count(lit(1)).as("n"))
+        .filter(col("n") <= maxBucket && col("n") > 1)
+      val inB = banded.join(sized, "bucket")
+      val cands = inB.as("a").join(inB.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+        .distinct()
+        .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= maxHamming)
+        .select("id_a", "id_b")
+      clusterDups(spark, cands, docs, idCol)
+    } finally banded.unpersist()
   }
 
   /** N-gram (token) Jaccard near-dup over word n-grams: candidates from
@@ -120,34 +142,57 @@ object Dedup {
   def ngramJaccardNearDup(spark: SparkSession, docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
       threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
-    val cands = minhashCandidates(docs, idCol, textCol, seed = seed)
-    // same precompute-once trick as minhashNearDup, over word n-gram sets
-    val texts = docs.select(col(idCol).as("id"),
-      ngram_hashes(col(textCol), n).as("sh"))
-    val verified = cands
-      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("jaccard", sorted_jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b")
-    clusterDups(spark, verified, docs, idCol)
+    val (cands, release) = minhashCandidatesManaged(docs, idCol, textCol, seed = seed)
+    try {
+      // same precompute-once trick as minhashNearDup, over word n-gram sets
+      val texts = docs.select(col(idCol).as("id"),
+        ngram_hashes(col(textCol), n).as("sh"))
+      val verified = cands
+        .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("jaccard", sorted_jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b")
+      clusterDups(spark, verified, docs, idCol)
+    } finally release()
   }
 
   /** Embedding-cosine near-dup over `embeddings(vec_id, embedding)`:
     * candidates from shared random-hyperplane sign buckets, verified by
-    * cosine >= threshold. */
+    * cosine >= threshold.
+    *
+    * Same capped/late-materialized pattern as minhashCandidates (this was the
+    * one scale-killer left in the family): the (id, vec, bucket) projection is
+    * computed ONCE and cached (Spark's columnar cache prunes the vector column
+    * out of the id-only self-join reads), buckets above `maxBucket` are
+    * dropped whole (one hot bucket of boilerplate/near-constant embeddings is
+    * an O(n²) blowup at 100 TB — DedupSpec plants one and asserts survival),
+    * candidates are generated id-only, and vectors are hydrated back only for
+    * the deduped candidate pairs. */
   def embeddingNearDup(spark: SparkSession, embs: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      threshold: Double = 0.95, nPlanes: Int = 12, seed: Long = 42L): DataFrame = {
+      threshold: Double = 0.95, nPlanes: Int = 12, maxBucket: Int = 256,
+      seed: Long = 42L): DataFrame = {
     val bucketed = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
-      Ann.signBucket(col(vecCol), nPlanes, seed).as("bucket"))
-    val cands = bucketed.as("a").join(bucketed.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("cos", cosine_sim(col("a.v"), col("b.v")))
-      .filter(col("cos") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    clusterDups(spark, cands,
-      embs.select(col(idCol)), idCol)
+        Ann.signBucket(col(vecCol), nPlanes, seed).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ids = bucketed.select("id", "bucket")
+      val sized = ids.groupBy("bucket").agg(count(lit(1)).as("n"))
+        .filter(col("n") <= maxBucket && col("n") > 1)
+      val inB = ids.join(sized, "bucket")
+      val cands = inB.as("a").join(inB.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      val vecs = bucketed.select(col("id"), col("v"))
+      val verified = cands
+        .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+        .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+        .filter(cosine_sim(col("v_a"), col("v_b")) >= threshold)
+        .select("id_a", "id_b")
+      clusterDups(spark, verified, embs.select(col(idCol)), idCol)
+    } finally bucketed.unpersist()
   }
 
   /** Cluster verified duplicate edges with CC; emit (id, dup_of) rows for

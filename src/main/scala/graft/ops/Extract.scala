@@ -36,11 +36,19 @@ object Extract {
     val scheme = regexp_replace(hostLower, "^http://", "https://")
     val noWww = regexp_replace(scheme, "^(https://)www\\.", "$1")
     val noFrag = regexp_replace(noWww, "#.*$", "")
-    val noUtm = regexp_replace(
-      regexp_replace(noFrag, "([?&])utm_[^&#]*", "$1"),
-      "[?&]+$|\\?&+", "?")
-    val cleanQ = regexp_replace(regexp_replace(noUtm, "\\?&", "?"), "\\?$", "")
-    regexp_replace(cleanQ, "(://[^/?#]+.+?)/+$", "$1")
+    // drop utm_* params, then repair the query string: a mid-query utm leaves
+    // "&&" ("?q=1&utm_x=2&r=3" -> "?q=1&&r=3"), a leading utm leaves "?&",
+    // and a trailing utm leaves a dangling "?"/"&"
+    val noUtm = regexp_replace(noFrag, "([?&])utm_[^&#]*", "$1")
+    val ampRuns = regexp_replace(noUtm, "&{2,}", "&")
+    val cleanQ = regexp_replace(
+      regexp_replace(ampRuns, "\\?&", "?"), "[?&]+$", "")
+    val canonical = regexp_replace(cleanQ, "(://[^/?#]+.+?)/+$", "$1")
+    // scheme-less/relative urls pass through UNCHANGED: both anchored
+    // extracts above miss, which would collapse every such url to "" and make
+    // latestSnapshot keep one arbitrary page for ALL of them
+    when(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://", 0) === "", url)
+      .otherwise(canonical)
   }
 
   /** Rewrite `url` to its canonical form (snapshot dedup then collapses

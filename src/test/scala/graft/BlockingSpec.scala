@@ -42,12 +42,41 @@ class BlockingSpec extends SparkSpec {
     keys shouldBe Set("e:E1", "e:E2")
   }
 
-  test("block cap drops oversized blocks (prevalence/stop-key rule)") {
+  test("block cap keeps top-k of oversized blocks (graceful stop-key rule)") {
     val blocks = ((1 to 10).map(i => ("big", s"u$i")) ++ Seq(("small", "u1"), ("small", "u2")))
       .toDF("block_key", "url")
       .withColumn("mention_id", xxhash64(col("url")))
     val capped = Blocking.capBlocks(blocks, maxBlock = 5)
-    capped.select("block_key").distinct().as[String].collect().toSet shouldBe Set("small")
+    // round-2 semantics dropped "big" whole; the ranked cap keeps exactly
+    // maxBlock deterministic members, so popular entities degrade gracefully
+    val byKey = capped.groupBy("block_key").count()
+      .as[(String, Long)].collect().toMap
+    byKey shouldBe Map("big" -> 5L, "small" -> 2L)
+    // block_size stays the TRUE pre-cap size (the prevalence signal)
+    capped.filter(col("block_key") === "big")
+      .select("block_size").distinct().as[Long].collect() shouldBe Array(10L)
+    // the kept subset is deterministic (content-derived rank)
+    val again = Blocking.capBlocks(blocks, maxBlock = 5)
+      .select("block_key", "url").as[(String, String)].collect().toSet
+    capped.select("block_key", "url").as[(String, String)].collect().toSet shouldBe again
+    // and the drop counter sees exactly the capped-away mentions
+    Blocking.cappedDropCount(capped, maxBlock = 5) shouldBe 5L
+  }
+
+  test("capped pair set is a subset of the uncapped pair set") {
+    val blocks = ((1 to 12).map(i => ("hot", f"h$i%02d")) ++
+      (1 to 4).map(i => ("cold", f"c$i%02d")))
+      .toDF("block_key", "url")
+      .withColumn("mention_id", xxhash64(col("url")))
+    def pairsOf(maxBlock: Int) =
+      Blocking.candidatePairs(Blocking.capBlocks(blocks, maxBlock))
+        .select("url_a", "url_b").as[(String, String)].collect().toSet
+    val capped = pairsOf(6)
+    val full = pairsOf(100)
+    capped.subsetOf(full) shouldBe true
+    // cold block untouched, hot block reduced to C(6,2) pairs
+    capped.count(_._1.startsWith("c")) shouldBe 4 * 3 / 2
+    capped.count(_._1.startsWith("h")) shouldBe 6 * 5 / 2
   }
 
   test("salted pair generation emits exactly the plain pair set, once each") {

@@ -75,6 +75,27 @@ class DedupSpec extends SparkSpec {
     dups.keySet should not contain 3L
   }
 
+  test("embedding near-dup bucket cap drops a planted hot bucket, keeps the rest") {
+    // 20 identical vectors = one hot sign bucket (boilerplate embeddings);
+    // plus one true near-dup pair in a different direction
+    val hot = (10L to 29L).map(i => (i, Array(1.0f, 0.0f, 0.0f, 0.1f)))
+    val pair = Seq(
+      (0L, Array(0.0f, 0.01f, 1.0f, 0.0f)),
+      (1L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+    val embs = (hot ++ pair).toDF("vec_id", "embedding")
+    val capped = Dedup.embeddingNearDup(spark, embs, threshold = 0.95, maxBucket = 8)
+      .as[(Long, Long)].collect().toMap
+    // the above-threshold pair OUTSIDE the hot bucket survives the cap
+    capped.get(1L) shouldBe Some(0L)
+    // the hot bucket is dropped whole (stop-key rule): no dup rows from it
+    capped.keySet.intersect((10L to 29L).toSet) shouldBe Set.empty
+    // and it is the CAP that excluded it, not the verifier
+    val uncapped = Dedup.embeddingNearDup(spark, embs, threshold = 0.95, maxBucket = 100)
+      .as[(Long, Long)].collect().toMap
+    uncapped.keySet.intersect((10L to 29L).toSet) shouldBe (11L to 29L).toSet
+    uncapped.get(1L) shouldBe Some(0L)
+  }
+
   test("charShingles matches the definition") {
     val r = Seq("abcdef").toDF("t")
       .select(Dedup.charShingles(col("t"), 3)).as[Seq[String]].head()

@@ -156,6 +156,25 @@ class ExprSpec extends SparkSpec {
     r shouldBe "d e Xx Yy f g"
   }
 
+  test("context_window_at does not overshoot when the mention is glued to punctuation") {
+    import spark.implicits._
+    // "(Gadget" is ONE whitespace-token: the "(" fragment before the mention
+    // offset must not count as a full token (round-2 advice: the window used
+    // to shift one token right)
+    val text = "aa bb (Gadget Prime) cc dd ee"
+    val begin = text.indexOf("Gadget")
+    val df = Seq((text, "Gadget Prime", begin)).toDF("text", "surface", "begin")
+    val r = df.select(
+      context_window_at(col("text"), col("surface"), col("begin"), 1))
+      .as[String].head()
+    r shouldBe "bb (Gadget Prime) cc"
+    // whitespace-boundary occurrences are unchanged
+    val t2 = "aa bb Gadget Prime cc dd"
+    val df2 = Seq((t2, "Gadget Prime", t2.indexOf("Gadget"))).toDF("text", "surface", "begin")
+    df2.select(context_window_at(col("text"), col("surface"), col("begin"), 1))
+      .as[String].head() shouldBe "bb Gadget Prime cc"
+  }
+
   test("norm_alnum strips to lowercase alphanumerics") {
     import spark.implicits._
     val df = Seq("Hunting-ton's Disease 2!").toDF("s")

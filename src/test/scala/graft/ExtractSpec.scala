@@ -53,7 +53,17 @@ class ExtractSpec extends SparkSpec {
       "https://example.com/x?utm_source=tw" -> "https://example.com/x",
       "HTTP://EXAMPLE.COM/path" -> "https://example.com/path",
       // host-only root: no path to trim
-      "https://example.com" -> "https://example.com")
+      "https://example.com" -> "https://example.com",
+      // mid-query utm must not leave a dangling "&&" (round-2 advice): the
+      // utm'd and utm-free variants of one page must canonicalize equal
+      "https://a.com/x?q=1&utm_x=2&r=3" -> "https://a.com/x?q=1&r=3",
+      "https://a.com/x?q=1&r=3" -> "https://a.com/x?q=1&r=3",
+      "https://a.com/x?utm_a=1&utm_b=2" -> "https://a.com/x",
+      // scheme-less/relative urls pass through UNCHANGED (round-2 advice:
+      // they used to collapse to "" and dedup into one arbitrary survivor)
+      "example.com/x/" -> "example.com/x/",
+      "/relative/path?utm_x=1" -> "/relative/path?utm_x=1",
+      "" -> "")
     val df = cases.map(_._1).toDF("url")
       .select(col("url"), Extract.canonicalUrl(col("url")).as("canon"))
     df.collect().foreach { r =>

@@ -11,7 +11,11 @@ import graft.ops.Metrics
   * checkpoint/resume under `checkpointDir`, evaluates pairwise F1 against the
   * gold pairs, and prints a one-line JSON summary.
   *
-  * Usage: graft.Main <checkpointDir> [nPages] [nEntities] [--no-resume]
+  * Usage: graft.Main <checkpointDir> [nPages] [nEntities] [--no-resume] [--fit]
+  *
+  * --fit inserts the in-engine training stage (weak labels -> IRLS -> swept
+  * threshold) and scores with the FITTED model (committed/reloaded as the
+  * <ckpt>/s35_model artifact) instead of the default weights.
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -47,14 +51,22 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
 
     val p = SynthParams(nPages = nPages, nEntities = nEntities)
-    val cfg = PipelineConfig(checkpointDir = checkpointDir, resume = resume)
+    val fit = args.contains("--fit")
+    val cfg = PipelineConfig(checkpointDir = checkpointDir, resume = resume,
+      fitWeights = fit)
+    val fitGold =
+      if (!fit) None
+      else Some(GoldGen.goldPairs(spark, p, cfg.maxBlock, cfg.saltThreshold, cfg.nSalts)
+        .filter(col("split") === "valid")
+        .select(col("url_a"), col("url_b"), col("gold")))
 
     val t0 = System.nanoTime()
     val result = Pipeline.run(spark, Synth.pages(spark, p).toDF(),
       Synth.dict(spark, p).toDF(), cfg,
       taxonomyHops = Seq(
         Synth.entityCategories(spark, p) -> "categories",
-        Synth.categorySupers(spark) -> "supercategories"))
+        Synth.categorySupers(spark) -> "supercategories"),
+      fitGold = fitGold)
     val nClusters = result.clusters.select("cluster_id").distinct().count()
     val nPairs = result.scored.count()
     val nRolledDocs = result.docRollup.map(_.count()).getOrElse(0L)

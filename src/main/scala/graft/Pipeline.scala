@@ -9,7 +9,7 @@ import scala.concurrent.{Await, ExecutionContext, Future}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Blocking, Clustering, Extract, Metrics, Scoring}
+import graft.ops.{Blocking, Clustering, Extract, Metrics, Scoring, Training}
 
 /** End-to-end ER pipeline with per-stage parquet checkpoints, resume, and
   * lineage metrics.
@@ -47,6 +47,13 @@ case class PipelineConfig(
       * by row count — broadcast while the projection is driver-safe, shuffle
       * NARROW pair rows beyond that (ops/Scoring.scala hydrate doc). */
     broadcastMentions: Option[Boolean] = None,
+    /** When true, insert a model-fit stage between pair generation and
+      * scoring: in-engine weak-supervision training (Training.fit) on the
+      * featured pairs, committed as a one-row parquet model artifact under
+      * <ckpt>/s35_model — the reference's pickle-the-classifier handoff
+      * (step3.4 save → step9 reload) as a resumable stage. Requires
+      * Pipeline.run's fitGold. The fitted weights replace cfg.weights. */
+    fitWeights: Boolean = false,
     /** Auto-switch threshold for broadcastMentions=None: broadcast the
       * mentions projection iff its estimated in-memory size — Σ(|surface| +
       * |ctx| + |url|) + per-row overhead, one cheap scan of the committed s1
@@ -114,7 +121,10 @@ object Pipeline {
     * resume=true picks up after the last committed stage (north_rule). */
   def run(spark: SparkSession, pagesIn: DataFrame, dict: DataFrame,
       cfg: PipelineConfig,
-      taxonomyHops: Seq[(DataFrame, String)] = Nil): PipelineResult = {
+      taxonomyHops: Seq[(DataFrame, String)] = Nil,
+      /** (url_a, url_b, gold) validation pairs for the fit stage's threshold
+        * sweep — required when cfg.fitWeights. */
+      fitGold: Option[DataFrame] = None): PipelineResult = {
     val pending = scala.collection.mutable.Buffer.empty[Future[Unit]]
 
     val pages = stage(spark, cfg, "s0_pages", pending) {
@@ -154,17 +164,33 @@ object Pipeline {
       Blocking.pairsFromBlocks(blocks, cfg.saltThreshold, cfg.nSalts)
     }
 
-    val scored = stage(spark, cfg, "s4_scored", pending) {
-      // byte-based auto: one cheap scan of the committed s1 checkpoint
-      // summing the projection's string payload (+24B/row envelope), paid
-      // only when the stage recomputes
-      val bcast = cfg.broadcastMentions.getOrElse {
-        val bytes = mentions.agg(coalesce(sum(
-          length(col("surface")) + length(col("ctx")) + length(col("url")) +
-            lit(24)), lit(0L))).head().getLong(0)
-        bytes <= cfg.broadcastMentionsMaxBytes
+    // byte-based auto: one cheap scan of the committed s1 checkpoint summing
+    // the projection's string payload (+24B/row envelope); lazy so it is paid
+    // only when a consuming stage (fit / scoring) actually recomputes
+    lazy val bcast = cfg.broadcastMentions.getOrElse {
+      val bytes = mentions.agg(coalesce(sum(
+        length(col("surface")) + length(col("ctx")) + length(col("url")) +
+          lit(24)), lit(0L))).head().getLong(0)
+      bytes <= cfg.broadcastMentionsMaxBytes
+    }
+
+    // optional fit stage (SURVEY.md S8): train in-engine, commit the model as
+    // a stage artifact, resume = reload instead of refit
+    val weights: Scoring.Weights =
+      if (!cfg.fitWeights) cfg.weights
+      else {
+        val wDf = stage(spark, cfg, "s35_model", pending) {
+          val gold = fitGold.getOrElse(throw new IllegalArgumentException(
+            "cfg.fitWeights=true requires fitGold (url_a, url_b, gold) pairs"))
+          val featured = Scoring.withFeatures(
+            Scoring.hydrate(pairs, mentions, bcast), cfg.embedDim, cfg.seed)
+          Training.weightsToDf(spark, Training.fit(featured, mentions, gold))
+        }
+        Training.weightsFromDf(wDf)
       }
-      Scoring.score(pairs, mentions, cfg.weights, cfg.embedDim, cfg.seed,
+
+    val scored = stage(spark, cfg, "s4_scored", pending) {
+      Scoring.score(pairs, mentions, weights, cfg.embedDim, cfg.seed,
         broadcastMentions = bcast)
     }
 

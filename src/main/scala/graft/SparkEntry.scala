@@ -336,6 +336,42 @@ object SparkEntry {
         array_join(sort_array(collect_set(col("r_name"))), ",").as("regions"),
         countDistinct(col("s_suppkey")).as("n_suppliers"))),
 
+    // ---- nested annotation-document JSON (SURVEY.md S4; reference
+    // step0_mimic3_data_processing.py:151-181): a per-doc JSON with doc
+    // structure -> {text, start, anns[{startNode/endNode offsets, features}]}
+    // is BUILT deterministically from the documents table (pure string
+    // concat, so DuckDB builds the identical bytes), ~1% of rows corrupted
+    // by truncation, then parsed with the full nested MapType/ArrayType/
+    // StructType schema. Corrupt rows are tolerated (null + parse_ok=false),
+    // the per-ann gates (Negation, abbreviation length) filter, and offsets
+    // come out part-relative. Both engines parse the SAME json bytes with
+    // their own parsers — a real cross-engine check of the nested source.
+    "q29_json_anns" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val len1 = when(col("doc_id") % 5 === 0, lit(2)).otherwise(lit(10))
+      val neg2 = when(col("doc_id") % 3 === 0, lit("Negated")).otherwise(lit("Affirmed"))
+      val code = concat(lit("C"), (col("doc_id") % 50).cast("string"))
+      val j0 = concat(
+        lit("""{"body":{"text":""""), col("text"),
+        lit("""","start":7,"anns":[{"startNode":{"offset":7},"endNode":{"offset":"""),
+        (lit(7) + len1).cast("string"),
+        lit("""},"features":{"Negation":"Affirmed","STY":"Disease or Syndrome","Experiencer":"Patient","string_orig":""""),
+        col("text").substr(lit(1), len1),
+        lit("""","inst":""""), code, lit("""","PREF":"lbl"}},"""),
+        lit("""{"startNode":{"offset":12},"endNode":{"offset":32},"features":{"Negation":""""),
+        neg2,
+        lit("""","STY":"Disease or Syndrome","Experiencer":"Patient","string_orig":""""),
+        col("text").substr(lit(6), lit(20)),
+        lit("""","inst":""""), code, lit("""","PREF":"lbl2"}}]}}"""))
+      val j = when(col("doc_id") % 97 === 3,
+        j0.substr(lit(1), length(j0) - 1)).otherwise(j0)
+      graft.sources.AnnJson.annotations(
+        graft.sources.AnnJson.parsed(
+          docs.select(col("doc_id"), j.as("json")), "json"))
+        .select(col("doc_id"), col("doc_part"), col("code"), col("label"),
+          col("mention"), col("begin").as("m_begin"), col("end").as("m_end"))
+    }),
+
     // embedding-cosine near-dup exposed as a driver query (rows-only: CC +
     // engine-specific sign-bucket candidates are not DuckDB-expressible;
     // recall vs brute force is unit-gated in DedupSpec). The embeddings table
@@ -580,6 +616,38 @@ object SparkEntry {
                ELSE cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) as double) /
                     cast(length(text) as double) END AS alpha_ratio
            FROM documents)""",
+    "q29_json_anns" ->
+      """WITH built AS (
+           SELECT doc_id,
+             '{"body":{"text":"' || text || '","start":7,"anns":[{"startNode":{"offset":7},"endNode":{"offset":' ||
+             cast(7 + (CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 10 END) as varchar) ||
+             '},"features":{"Negation":"Affirmed","STY":"Disease or Syndrome","Experiencer":"Patient","string_orig":"' ||
+             substring(text, 1, CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 10 END) ||
+             '","inst":"C' || cast(doc_id % 50 as varchar) || '","PREF":"lbl"}},' ||
+             '{"startNode":{"offset":12},"endNode":{"offset":32},"features":{"Negation":"' ||
+             (CASE WHEN doc_id % 3 = 0 THEN 'Negated' ELSE 'Affirmed' END) ||
+             '","STY":"Disease or Syndrome","Experiencer":"Patient","string_orig":"' ||
+             substring(text, 6, 20) ||
+             '","inst":"C' || cast(doc_id % 50 as varchar) || '","PREF":"lbl2"}}]}}' AS j
+           FROM documents),
+         corrupted AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 97 = 3 THEN substring(j, 1, length(j) - 1) ELSE j END AS j
+           FROM built),
+         anns AS (
+           SELECT doc_id, j, i FROM corrupted CROSS JOIN (VALUES (0), (1)) t(i))
+         SELECT doc_id, 'body' AS doc_part,
+           json_extract_string(j, '$.body.anns[' || i || '].features.inst') AS code,
+           json_extract_string(j, '$.body.anns[' || i || '].features.PREF') AS label,
+           json_extract_string(j, '$.body.anns[' || i || '].features.string_orig') AS mention,
+           cast(json_extract(j, '$.body.anns[' || i || '].startNode.offset') as integer) -
+             cast(json_extract(j, '$.body.start') as integer) AS m_begin,
+           cast(json_extract(j, '$.body.anns[' || i || '].endNode.offset') as integer) -
+             cast(json_extract(j, '$.body.start') as integer) AS m_end
+         FROM anns
+         WHERE json_valid(j)
+           AND json_extract_string(j, '$.body.anns[' || i || '].features.Negation') = 'Affirmed'
+           AND length(json_extract_string(j, '$.body.anns[' || i || '].features.string_orig')) > 3""",
     "q28_taxonomy_rollup" ->
       """SELECT l_orderkey,
          array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations,

@@ -178,10 +178,58 @@ object Training {
       minLen: Int = 8, maxPrevalence: Double = 0.005): Scoring.Weights = {
     val weak = weakLabels(featured, mentions, minLen, maxPrevalence)
     val w = fitLogistic(weak)
+    thresholded(featured, goldValid, w)
+  }
+
+  /** Strong/semi-supervised fit variant (reference
+    * `other_scripts/step3.3_train_and_test_strong_or_semi_supervised.py` —
+    * its best result, F1 0.909 vs 0.858 weakly-supervised, comes from
+    * training on gold labels instead of rule labels): the SAME IRLS fit, but
+    * labeled by joining `goldTrain` (url_a, url_b, gold) onto the featured
+    * pairs. Threshold is still swept on the held-out validation split. */
+  def fitStrong(featured: DataFrame, goldTrain: DataFrame,
+      goldValid: DataFrame): Scoring.Weights = {
+    val labeled = featured.join(
+      goldTrain.select(col("url_a"), col("url_b"), col("gold")),
+      Seq("url_a", "url_b"))
+    val w = fitLogistic(labeled, labelCol = "gold")
+    thresholded(featured, goldValid, w)
+  }
+
+  private def thresholded(featured: DataFrame, goldValid: DataFrame,
+      w: Array[Double]): Scoring.Weights = {
     val weights = Scoring.Weights(w(0), w(1), w(2), w(3), w(4), threshold = 0.0)
     val scoredValid = Scoring.dedupBest(Scoring.withScore(featured, weights))
       .join(goldValid, Seq("url_a", "url_b"))
     val t = selectThreshold(scoredValid)
     weights.copy(threshold = t)
   }
+
+  /** Fitted-model persistence (SURVEY.md S8 — the reference pickles its
+    * fitted classifier, `main_scripts/step3.4_train_and_test_model_ment_
+    * disamb_pred.py:156-158`, and a later pipeline step reloads it,
+    * `main_scripts/step9_processing_all_documents.py:92-102`): the model is a
+    * one-row DataFrame, so the artifact is a tiny parquet directory with the
+    * same _SUCCESS commit protocol as every other stage checkpoint — the
+    * train→deploy handoff resumes like any stage. */
+  def weightsToDf(spark: org.apache.spark.sql.SparkSession,
+      w: Scoring.Weights): DataFrame = {
+    import spark.implicits._
+    Seq((w.wJw, w.wLev, w.wJac, w.wCos, w.bias, w.threshold))
+      .toDF("w_jw", "w_lev", "w_jac", "w_cos", "bias", "threshold")
+  }
+
+  def weightsFromDf(df: DataFrame): Scoring.Weights = {
+    val r = df.select("w_jw", "w_lev", "w_jac", "w_cos", "bias", "threshold").head()
+    Scoring.Weights(r.getDouble(0), r.getDouble(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4), r.getDouble(5))
+  }
+
+  def saveWeights(spark: org.apache.spark.sql.SparkSession, w: Scoring.Weights,
+      path: String): Unit =
+    weightsToDf(spark, w).coalesce(1).write.mode("overwrite").parquet(path)
+
+  def loadWeights(spark: org.apache.spark.sql.SparkSession,
+      path: String): Scoring.Weights =
+    weightsFromDf(spark.read.parquet(path))
 }

@@ -83,6 +83,35 @@ class PipelineSpec extends SparkSpec {
     metrics.filter(col("rows") < 0).count() shouldBe 0L
   }
 
+  test("fit stage commits a model artifact and resume reloads it unchanged") {
+    val dir = freshDir()
+    val cfg = PipelineConfig(checkpointDir = dir, runId = "fit", fitWeights = true)
+    val gold = GoldGen.goldPairs(spark, p, cfg.maxBlock, cfg.saltThreshold,
+      cfg.nSalts)
+    val goldValid = gold.filter(col("split") === "valid")
+      .select(col("url_a"), col("url_b"), col("gold"))
+    val result = Pipeline.run(spark, Synth.pages(spark, p).toDF(),
+      Synth.dict(spark, p).toDF(), cfg, fitGold = Some(goldValid))
+    // the fitted model must clear the BASELINE gate (no hand-set weights)
+    val f1 = Metrics.pairwiseF1(result.scored, gold)
+      .filter(col("split") === "test").select("f1").as[Double].head()
+    f1 should be >= 0.99
+    // the model artifact is a committed stage checkpoint
+    val modelPath = s"$dir/s35_model"
+    Files.exists(java.nio.file.Paths.get(modelPath, "_SUCCESS")) shouldBe true
+    val saved = graft.ops.Training.loadWeights(spark, modelPath)
+    // resume: the model is RELOADED (byte-identical artifact), not refitted —
+    // and scoring still uses it
+    val modelFiles = Files.list(java.nio.file.Paths.get(modelPath))
+      .toArray.map(_.toString).sorted
+    val again = Pipeline.run(spark, Synth.pages(spark, p).toDF(),
+      Synth.dict(spark, p).toDF(), cfg, fitGold = None) // resume needs no gold
+    Files.list(java.nio.file.Paths.get(modelPath))
+      .toArray.map(_.toString).sorted shouldBe modelFiles
+    graft.ops.Training.loadWeights(spark, modelPath) shouldBe saved
+    again.clusters.count() should be > 0L
+  }
+
   test("invariant violations are excluded from mention extraction") {
     val corrupt = p.copy(corruptFraction = 0.5)
     val pages = graft.ops.Extract.withInvariant(

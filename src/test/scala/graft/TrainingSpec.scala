@@ -98,4 +98,44 @@ class TrainingSpec extends SparkSpec {
     f1 should be >= 0.99
     featured.unpersist(); gold.unpersist()
   }
+
+  test("strong-supervised fit (gold labels) matches or beats the weak fit") {
+    // reference other_scripts/step3.3_train_and_test_strong_or_semi_
+    // supervised.py: its best result (F1 0.909 vs 0.858) comes from training
+    // on gold labels with the same model family
+    val p = SynthParams(nPages = 2000, nEntities = 300)
+    val pages = Extract.withInvariant(
+      Extract.latestSnapshot(Synth.pages(spark, p).toDF()))
+    val mentions = Extract.mentions(pages)
+    val pairs = Blocking.pairs(mentions, Synth.dict(spark, p).toDF())
+    val featured = Scoring.withFeatures(Scoring.hydrate(pairs, mentions))
+      .persist()
+    val gold = GoldGen.goldPairs(spark, p).persist()
+    val goldValid = gold.filter(col("split") === "valid")
+      .select(col("url_a"), col("url_b"), col("gold"))
+
+    def testF1(w: graft.ops.Scoring.Weights): Double = {
+      val scored = Scoring.dedupBest(Scoring.withScore(featured, w))
+      Metrics.pairwiseF1(scored, gold)
+        .filter(col("split") === "test").select("f1").as[Double].head()
+    }
+    // strong fit trains on the validation slice's gold labels (held-out test
+    // split untouched), weak fit on rule labels only
+    val strong = Training.fitStrong(featured, goldValid, goldValid)
+    val weak = Training.fit(featured, mentions, goldValid)
+    val f1Strong = testF1(strong)
+    val f1Weak = testF1(weak)
+    info(s"strong=$f1Strong weak=$f1Weak")
+    f1Strong should be >= 0.99
+    f1Strong should be >= f1Weak - 1e-6
+    featured.unpersist(); gold.unpersist()
+  }
+
+  test("weights round-trip through the parquet model artifact") {
+    val w = graft.ops.Scoring.Weights(1.5, -0.25, 0.125, 21.0, -3.5, 0.75)
+    val dir = java.nio.file.Files.createTempDirectory("graft-model").toString
+    Training.saveWeights(spark, w, s"$dir/model")
+    Training.loadWeights(spark, s"$dir/model") shouldBe w
+    scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
 }

@@ -52,7 +52,12 @@ object Bench {
     // "failed" list), never recorded as a fast success
     val failed = scala.collection.mutable.ListBuffer[String]()
     if (!pipelineOnly) {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      // near-dup/ANN names measure the PRODUCTION hash family (xxhash/custom
+      // kernels), not the md5 oracle twins Verify checks — same dataflow
+      // shape, the hash kernel a deployment actually runs, and the series
+      // BENCH_r01/r02 measured (see SparkEntry.benchOverrides doc).
+      (SparkEntry.queries ++ SparkEntry.benchOverrides)
+        .toSeq.sortBy(_._1).foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()

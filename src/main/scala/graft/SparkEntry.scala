@@ -230,39 +230,58 @@ object SparkEntry {
       graft.ops.Metrics.multiLabel(base)
     }),
 
-    // ---- rows-only (no SQL oracle): graft expressions + pipeline ----
+    // ---- deterministic seeded sampling via content hash (O4-O6): the
+    // sample membership is a pure function of (seed, row keys) — md5 compared
+    // against a hex threshold — so it is reproducible across engines,
+    // repartitionings, and reruns (the property the reference's
+    // random.Random(1234).shuffle cannot give a distributed engine). The
+    // engine-RNG variants (DataFrame.sample / sampleBy) remain available;
+    // this is the web-scale-reproducible form, and it is fully
+    // oracle-checkable. perm_first = arg-min over the seeded md5 permutation
+    // key (O4: deterministic shuffle). ----
     "g10_seeded_sample" -> ((s, d) => {
-      // O4-O6: seeded sampling + permutation surface (engine-specific RNG =>
-      // rows-only). perm_first = first key of the content-derived seeded
-      // permutation per group — the reproducible shuffle (O4).
       val li = t(s, d, "lineitem")
-      val frac = li.sample(withReplacement = false, 0.1, seed = 1234)
+      def key(seed: Int) = md5(concat_ws(":", lit(seed),
+        col("l_orderkey"), col("l_linenumber")))
+      val hk = substring(key(1234), 1, 4)
+      val frac = li.filter(hk < "1999")
         .groupBy("l_returnflag").agg(count(lit(1)).as("n_sampled"))
-      val strat = li.stat.sampleBy("l_returnflag",
-        Map("R" -> 0.5, "A" -> 0.25, "N" -> 0.1), 1234L)
+      val strat = li.filter(hk <
+          when(col("l_returnflag") === "R", "8000")
+            .when(col("l_returnflag") === "A", "4000").otherwise("1999"))
         .groupBy("l_returnflag").agg(count(lit(1)).as("n_stratified"))
       val perm = li.groupBy("l_returnflag")
-        .agg(min_by(col("l_orderkey"), graft.functions.permutation_key(
-          1234L, col("l_orderkey"), col("l_linenumber"))).as("perm_first"))
+        .agg(min_by(col("l_orderkey"), key(777)).as("perm_first"))
       frac.join(strat, Seq("l_returnflag"), "left")
         .join(perm, Seq("l_returnflag"), "left")
     }),
 
     "g01_er_clusters" -> ((s, _) => entry(s)),
 
+    // Near-dup family (g02/g03/g04/g11): the queries run the ORACLE-PORTABLE
+    // twins (ops/Portable.scala — md5 hash family, identical capped
+    // candidates → exact verify → CC dataflow) so the driver's DuckDB can
+    // hash-check the FULL pipeline including clustering (recursive-CTE
+    // transitive closure). Bench overrides these four names back to the
+    // production xxhash/custom-kernel variants (benchOverrides below).
     "g02_docs_minhash_neardup" -> ((s, d) =>
-      Dedup.minhashNearDup(s, t(s, d, "documents"))),
+      graft.ops.Portable.nearDupMd5(s, t(s, d, "documents"), "doc_id",
+        Dedup.charShingles(lower(col("text")), 5), threshold = 0.8)),
 
     "g03_docs_simhash_neardup" -> ((s, d) =>
-      Dedup.simhashNearDup(s, t(s, d, "documents"))),
+      graft.ops.Portable.simhashNearDupMd5(s, t(s, d, "documents"))),
 
     "g04_docs_ngram_neardup" -> ((s, d) =>
-      Dedup.ngramJaccardNearDup(s, t(s, d, "documents"))),
+      graft.ops.Portable.nearDupMd5(s, t(s, d, "documents"), "doc_id",
+        graft.ops.Portable.wordNgramSet(col("text"), 3), threshold = 0.7)),
 
+    // IVF-style ANN: deterministic argmax coarse bucket (engine-portable,
+    // hash-green) — the multi-probe sign-plane LSH variant stays the bench
+    // entry (benchOverrides) and keeps its recall-vs-brute unit gate.
     "g05_emb_lsh_topk" -> ((s, d) => {
       val q = t(s, d, "embeddings").orderBy("vec_id")
         .select("embedding").head().getSeq[Float](0).toArray
-      Ann.lshTopK(t(s, d, "embeddings"), q, 10)
+      Ann.ivfTopK(t(s, d, "embeddings"), q, 10)
     }),
 
     "g06_docs_langid" -> ((s, d) => t(s, d, "documents")
@@ -284,6 +303,8 @@ object SparkEntry {
             col("text").cast("binary").as("payload"))))
         .select(col("doc_id"), col("media_size_bytes"),
           col("media_meta.width").as("width"),
+          col("media_meta.height").as("height"),
+          col("media_meta.format").as("format"),
           col("payload_sha"), size(col("features")).as("feature_dim"))),
 
     "g09_events_sessionize" -> ((s, d) => {
@@ -372,22 +393,155 @@ object SparkEntry {
           col("mention"), col("begin").as("m_begin"), col("end").as("m_end"))
     }),
 
-    // embedding-cosine near-dup exposed as a driver query (rows-only: CC +
-    // engine-specific sign-bucket candidates are not DuckDB-expressible;
-    // recall vs brute force is unit-gated in DedupSpec). The embeddings table
-    // is isotropic noise (no true near-dups — verified: cross/within-label
-    // cosine max ~0.5), so the query embeds the documents table, which does
-    // contain planted near-duplicates.
+    // embedding-cosine near-dup: the query runs the portable axis-sign-bucket
+    // twin over the embeddings table (threshold 0.4 — isotropic noise, so
+    // near-dup means "unusually close", ~7 pairs at sf0.01), hash-checked
+    // end-to-end incl. CC. Bench overrides to the production hash_embed +
+    // xxhash-sign-plane variant over planted document near-dups.
+    "g11_emb_neardup" -> ((s, d) =>
+      graft.ops.Portable.embeddingNearDupPortable(s, t(s, d, "embeddings"))))
+
+  /** Bench-only substitutions: for the near-dup/ANN names whose `queries`
+    * entry is the oracle-portable md5 twin, Bench measures the PRODUCTION
+    * variant (xxhash64 minhash / custom simhash kernel / hash_embed sign
+    * planes / multi-probe LSH) under the same query name — the hot path a
+    * deployment runs, and the series BENCH_r01/r02 measured. Same dataflow
+    * shape, different hash kernel; correctness of the shape is carried by the
+    * portable twin's hash-green oracle row + the production variants' own
+    * unit/property gates (DedupSpec, AnnTextOpsSpec). */
+  def benchOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g02_docs_minhash_neardup" -> ((s, d) =>
+      Dedup.minhashNearDup(s, t(s, d, "documents"))),
+    "g03_docs_simhash_neardup" -> ((s, d) =>
+      Dedup.simhashNearDup(s, t(s, d, "documents"))),
+    "g04_docs_ngram_neardup" -> ((s, d) =>
+      Dedup.ngramJaccardNearDup(s, t(s, d, "documents"))),
+    "g05_emb_lsh_topk" -> ((s, d) => {
+      val q = t(s, d, "embeddings").orderBy("vec_id")
+        .select("embedding").head().getSeq[Float](0).toArray
+      Ann.lshTopK(t(s, d, "embeddings"), q, 10)
+    }),
     "g11_emb_neardup" -> ((s, d) =>
       Dedup.embeddingNearDup(s,
         t(s, d, "documents").select(col("doc_id").as("vec_id"),
           graft.functions.hash_embed(col("text"), 256, 42L).as("embedding")),
         threshold = 0.9)))
 
+  /** Shared oracle-SQL fragments for the portable near-dup family: md5
+    * minhash-LSH candidates (16 hashes, 8 bands x 2 rows, bucket cap 256)
+    * over a `sets(doc_id, sh)` CTE, exact set-Jaccard verification, and CC
+    * via a recursive-CTE transitive closure — the independent re-derivation
+    * of Clustering.connectedComponents' min-label semantics. */
+  private def ccTailSql(outId: String): String =
+    s"""und AS (SELECT id_a AS u, id_b AS v FROM ver UNION SELECT id_b, id_a FROM ver),
+       reach AS (SELECT u, v FROM und
+         UNION SELECT r.u, d.v FROM reach r JOIN und d ON r.v = d.u WHERE d.v <> r.u)
+       SELECT u AS $outId, min(v) AS dup_of FROM reach GROUP BY u HAVING min(v) < u"""
+
+  private def md5NearDupSql(setCtes: String, threshold: String): String =
+    s"""WITH RECURSIVE $setCtes,
+       sig AS (SELECT doc_id, list_transform(range(0, 16), h ->
+           list_aggregate(list_transform(sh, s -> md5(s || ':' || h)), 'min')) AS sig
+         FROM sets),
+       bands AS (SELECT doc_id, 'b' || b || '|' || sig[2*b+1] || '|' || sig[2*b+2] AS bucket
+         FROM sig CROSS JOIN (SELECT unnest(range(0,8)) AS b)),
+       sized AS (SELECT bucket FROM bands GROUP BY bucket HAVING count(*) > 1 AND count(*) <= 256),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN sized s ON a.bucket = s.bucket
+         JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       ver AS (SELECT id_a, id_b FROM cand
+         JOIN sets sa ON sa.doc_id = cand.id_a
+         JOIN sets sb ON sb.doc_id = cand.id_b
+         WHERE cast(len(list_intersect(sa.sh, sb.sh)) as double) /
+               cast(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) as double) >= $threshold),
+       ${ccTailSql("doc_id")}"""
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for g* ops (not SQL-expressible in
-    * DuckDB; unit/property-tested in ScalaTest instead). */
+    * the same parquet tables. Omitted only for g01 (the flagship pipeline
+    * runs on the in-memory synthetic fixture, outside the oracle's tables;
+    * its CC/blocking/scoring semantics are carried by the hash-green g02/g03/
+    * g04/g11 CC oracles plus the ScalaTest gates). */
   def oracleSql: Map[String, String] = Map(
+    "g02_docs_minhash_neardup" -> md5NearDupSql(
+      """sets AS (SELECT doc_id,
+           CASE WHEN length(lower(text)) < 5 THEN [lower(text)]
+                ELSE list_distinct(list_transform(range(1, length(lower(text)) - 3),
+                       i -> substring(lower(text), i, 5))) END AS sh
+         FROM documents)""", "0.8"),
+    "g04_docs_ngram_neardup" -> md5NearDupSql(
+      """tk AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+         FROM documents),
+         sets AS (SELECT doc_id,
+           CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+         FROM tk)""", "0.7"),
+    "g03_docs_simhash_neardup" ->
+      s"""WITH RECURSIVE tk AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+           FROM documents),
+         th AS (SELECT doc_id,
+             list_transform(t, x -> ('0x' || substring(md5(x), 1, 15))::BIGINT) AS hs
+           FROM tk),
+         sim AS (SELECT doc_id,
+             list_sum(list_transform(range(0, 60), b ->
+               CASE WHEN list_sum(list_transform(hs, h ->
+                      CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sh
+           FROM th),
+         bands AS (SELECT doc_id, sh, 'b' || b || ':' || ((sh >> (b * 15)) & 32767) AS bucket
+           FROM sim CROSS JOIN (SELECT unnest(range(0,4)) AS b)),
+         sized AS (SELECT bucket FROM bands GROUP BY bucket HAVING count(*) > 1 AND count(*) <= 256),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sha, b.sh AS shb
+           FROM bands a JOIN sized s ON a.bucket = s.bucket
+           JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         ver AS (SELECT id_a, id_b FROM cand WHERE bit_count(xor(sha, shb)) <= 3),
+         ${ccTailSql("doc_id")}""",
+    "g11_emb_neardup" ->
+      s"""WITH RECURSIVE b AS (
+           SELECT vec_id, cast(embedding as double[]) AS e,
+             array_to_string(list_transform(embedding[1:6],
+               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+           FROM embeddings),
+         sized AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) > 1 AND count(*) <= 256),
+         ver AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b
+           FROM b a JOIN sized s ON a.bucket = s.bucket
+           JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+           WHERE list_cosine_similarity(a.e, c.e) >= 0.4),
+         ${ccTailSql("vec_id")}""",
+    "g05_emb_lsh_topk" ->
+      """WITH q AS (SELECT cast(embedding as double[]) AS qv,
+           list_position(embedding[1:8], list_aggregate(embedding[1:8], 'max')) AS qb
+         FROM embeddings ORDER BY vec_id LIMIT 1)
+         SELECT vec_id,
+           round(list_cosine_similarity(cast(embedding as double[]), (SELECT qv FROM q)), 6) AS cos
+         FROM embeddings
+         WHERE list_position(embedding[1:8], list_aggregate(embedding[1:8], 'max')) = (SELECT qb FROM q)
+         ORDER BY cos DESC, vec_id ASC LIMIT 10""",
+    "g08_multimodal_features" ->
+      """SELECT doc_id,
+         cast(octet_length(text::BLOB) as bigint) AS media_size_bytes,
+         cast(('0x' || substring(md5(text), 1, 8))::BIGINT % 1920 + 64 as int) AS width,
+         cast(('0x' || substring(md5(text), 9, 8))::BIGINT % 1080 + 64 as int) AS height,
+         CASE WHEN length(text) % 3 = 0 THEN 'image/jpeg'
+              WHEN length(text) % 3 = 1 THEN 'image/png'
+              ELSE 'application/octet-stream' END AS format,
+         sha256(text) AS payload_sha,
+         cast(64 as int) AS feature_dim
+         FROM documents""",
+    "g10_seeded_sample" ->
+      """WITH h AS (SELECT l_returnflag, l_orderkey,
+           substring(md5(concat_ws(':', 1234, l_orderkey, l_linenumber)), 1, 4) AS hk,
+           md5(concat_ws(':', 777, l_orderkey, l_linenumber)) AS pk
+         FROM lineitem),
+         frac AS (SELECT l_returnflag, count(*) AS n_sampled FROM h WHERE hk < '1999' GROUP BY 1),
+         strat AS (SELECT l_returnflag, count(*) AS n_stratified FROM h
+           WHERE hk < (CASE l_returnflag WHEN 'R' THEN '8000' WHEN 'A' THEN '4000' ELSE '1999' END)
+           GROUP BY 1),
+         perm AS (SELECT l_returnflag, arg_min(l_orderkey, pk) AS perm_first FROM h GROUP BY 1)
+         SELECT f.l_returnflag, n_sampled, n_stratified, perm_first
+         FROM frac f LEFT JOIN strat USING (l_returnflag) LEFT JOIN perm USING (l_returnflag)""",
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
          cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,

@@ -77,6 +77,28 @@ object Ann {
       .limit(k)
   }
 
+  /** IVF-style coarse quantization bucket: the (1-based) index of the
+    * maximum component among the first m — a deterministic, engine-portable
+    * centroid assignment (every SQL engine computes the same argmax), so the
+    * IVF probe is fully oracle-checkable, unlike the xxhash sign planes. */
+  def ivfBucket(vec: Column, m: Int): Column =
+    array_position(slice(vec, 1, m), array_max(slice(vec, 1, m)))
+
+  /** IVF top-k: scan ONLY the query's coarse bucket (1/m of the data in
+    * expectation), exact cosine within it. The coarse list is the scale
+    * path: written `partitionBy(bucket)` the probe is a partition-pruned
+    * read, like lshTopKBucketed. Baseline recall trade: one probe list. */
+  def ivfTopK(embs: DataFrame, query: Array[Float], k: Int, m: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val head = query.take(m)
+    val qBucket = head.indexOf(head.max) + 1 // first-index-of-max, 1-based
+    val q = array(query.map(lit): _*)
+    embs.filter(ivfBucket(col(vecCol), m) === qBucket)
+      .select(col(idCol), round(cosine_sim(col(vecCol), q), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Materialize the embeddings table PARTITIONED BY sign bucket: the
     * "write bucketed, get pruning" scale path — a probed read then scans
     * only (1 + nPlanes) of the 2^nPlanes partition directories instead of

@@ -199,7 +199,7 @@ object Dedup {
     * docs whose representative differs from themselves. CC compares node ids
     * as strings, so numeric ids are zero-padded first — string order must
     * equal numeric order for "dup_of = min doc id" to hold. */
-  private def clusterDups(spark: SparkSession, edges: DataFrame,
+  private[ops] def clusterDups(spark: SparkSession, edges: DataFrame,
       docs: DataFrame, idCol: String): DataFrame = {
     def key(c: org.apache.spark.sql.Column) = lpad(c.cast("string"), 20, "0")
     val cc = Clustering.connectedComponents(spark,

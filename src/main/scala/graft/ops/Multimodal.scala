@@ -30,9 +30,13 @@ object Multimodal {
     df
       .withColumn("media_size_bytes", length(b).cast("long"))
       .withColumn("media_meta", struct(
-        // STUB: fake header fields, pure function of the first payload bytes
-        (pmod(xxhash64(substring(b, 1, 8)), lit(1920)) + 64).cast("int").as("width"),
-        (pmod(xxhash64(substring(b, 1, 16)), lit(1080)) + 64).cast("int").as("height"),
+        // STUB: fake header fields, pure function of the payload bytes.
+        // md5-derived (not xxhash) so the whole media-meta path is
+        // oracle-checkable cross-engine: 8 hex chars -> 32-bit int -> ranged
+        (conv(substring(md5(b), 1, 8), 16, 10).cast("long") % 1920 + 64)
+          .cast("int").as("width"),
+        (conv(substring(md5(b), 9, 8), 16, 10).cast("long") % 1080 + 64)
+          .cast("int").as("height"),
         when(length(b) % 3 === 0, "image/jpeg")
           .when(length(b) % 3 === 1, "image/png")
           .otherwise("application/octet-stream").as("format")))

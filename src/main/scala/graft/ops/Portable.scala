@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-portable twins of the near-dup family.
+  *
+  * The production operators (Dedup.*) hash with xxhash64 / the custom
+  * codegen'd kernels — fast, but no other engine can replicate them, so the
+  * driver's DuckDB oracle could only count rows. These twins run the SAME
+  * dataflow shape — capped LSH band candidates → exact-similarity
+  * verification → connected-components clustering — but draw every hash from
+  * md5 (which DuckDB computes bit-identically), every similarity from exact
+  * set intersection over the SAME element sets both engines can build in SQL,
+  * and every tiebreak from total orders both engines share. Result: the full
+  * candidates→verify→cluster pipeline is hash-checkable end-to-end against an
+  * independent SQL engine (CC verified via a recursive-CTE transitive
+  * closure).
+  *
+  * Use the production family for throughput (Bench overrides the g02/g03/g04/
+  * g11 bench entries back to it); use this family when cross-engine
+  * verifiability matters more than hash speed. Both scale identically: the
+  * plan shapes are the same, only the hash kernel differs.
+  */
+object Portable {
+
+  /** Distinct word n-gram set (lowercased whitespace tokens; short docs fall
+    * back to the whole token string, so every doc has a non-empty set). */
+  def wordNgramSet(text: Column, n: Int): Column = {
+    val tk = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    when(size(tk) < n, array(array_join(tk, " "))).otherwise(
+      array_distinct(transform(sequence(lit(0), size(tk) - n), i =>
+        concat_ws(" ", (0 until n).map(j => get(tk, i + j)): _*))))
+  }
+
+  /** md5 minhash signature over an element-set column: sig[h] =
+    * min over elements of md5(element ":" h) — min over lowercase-hex
+    * strings, a total order every engine agrees on. */
+  def md5MinhashSig(setCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), h =>
+      array_min(transform(setCol, s => md5(concat(s, lit(":"), h.cast("string"))))))
+
+  /** LSH band bucket strings from a signature: "b<band>|row|row|...". */
+  def bandBuckets(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      concat(lit("b"), b.cast("string"), lit("|"),
+        array_join(slice(sig, b * lit(rows) + lit(1), lit(rows)), "|")))
+
+  /** Exact Jaccard of two element-set columns (distinct sets), computed the
+    * way SQL computes it: |∩| / (|a| + |b| - |∩|), all-int until one double
+    * division — bit-identical across engines. */
+  def setJaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter).cast("double")
+  }
+
+  /** Shared candidate machinery: explode per-id bucket strings, drop buckets
+    * over maxBucket (stop-key cap, same semantics as the production family),
+    * emit distinct (id_a < id_b) pairs. */
+  private def cappedCandidates(keyed: DataFrame, maxBucket: Int): DataFrame = {
+    val sized = keyed.groupBy("bucket").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket && col("n") > 1)
+    val inB = keyed.join(sized, "bucket")
+    inB.as("a").join(inB.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Portable near-dup over any element-set column: md5-minhash band
+    * candidates (capped), exact set-Jaccard verification, CC clustering.
+    * Output (idCol, dup_of) like the production family. */
+  def nearDupMd5(spark: SparkSession, docs: DataFrame, idCol: String,
+      setCol: Column, threshold: Double, numHashes: Int = 16, bands: Int = 8,
+      rows: Int = 2, maxBucket: Int = 256): DataFrame = {
+    val sets = docs.select(col(idCol).as("id"), setCol.as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val keyed = sets.select(col("id"),
+        explode(bandBuckets(md5MinhashSig(col("sh"), numHashes), bands, rows))
+          .as("bucket"))
+      val verified = cappedCandidates(keyed, maxBucket)
+        .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .filter(setJaccard(col("sh_a"), col("sh_b")) >= threshold)
+        .select("id_a", "id_b")
+      Dedup.clusterDups(spark, verified, docs, idCol)
+    } finally sets.unpersist()
+  }
+
+  /** Portable 60-bit SimHash (Charikar bit-vote over whitespace tokens WITH
+    * multiplicity, matching expr.SimHash's per-occurrence votes and strict
+    * `> 0` majority): token hash = first 15 hex chars of md5 (60 bits — fits
+    * a signed long in both engines), packed via a binary string so no
+    * column-indexed shifts are needed. */
+  def simhash60(text: Column): Column = {
+    val tk = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    val hs = transform(tk, t =>
+      conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val bitsMsbFirst = (59 to 0 by -1).map { b =>
+      val vote = aggregate(hs, lit(0), (a, h) =>
+        a + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+      when(vote > 0, lit("1")).otherwise(lit("0"))
+    }
+    conv(concat(bitsMsbFirst: _*), 2, 10).cast("long")
+  }
+
+  /** Portable simhash near-dup: 4×15-bit band buckets (any shared band ⇒
+    * candidate; guarantees recall for hamming ≤ 3), capped, verified by true
+    * hamming distance, CC-clustered. */
+  def simhashNearDupMd5(spark: SparkSession, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
+    val hashed = docs.select(col(idCol).as("id"), simhash60(col(textCol)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val keyed = hashed.select(col("id"),
+        explode(array((0 until 4).map(b =>
+          concat(lit("b"), lit(b.toString), lit(":"),
+            shiftrightunsigned(col("sh"), b * 15).bitwiseAND(lit(32767L))
+              .cast("string"))): _*)).as("bucket"))
+      val verified = cappedCandidates(keyed, maxBucket)
+        .join(hashed.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(hashed.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= maxHamming)
+        .select("id_a", "id_b")
+      Dedup.clusterDups(spark, verified, docs, idCol)
+    } finally hashed.unpersist()
+  }
+
+  /** Axis-aligned sign-LSH bucket: the sign pattern of the first nPlanes
+    * embedding components as a bit string — a legitimate (if coarse)
+    * random-hyperplane bucket that any SQL engine reproduces exactly. */
+  def axisSignBucket(vec: Column, nPlanes: Int): Column =
+    array_join(transform(slice(vec, 1, nPlanes), x =>
+      when(x >= 0, lit("1")).otherwise(lit("0"))), "")
+
+  /** Portable embedding near-dup: axis-sign buckets (capped), cosine-verified
+    * (≥ threshold), CC-clustered — the capped/late-materialized pattern of
+    * Dedup.embeddingNearDup with an engine-portable bucket function. */
+  def embeddingNearDupPortable(spark: SparkSession, embs: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      threshold: Double = 0.4, nPlanes: Int = 6,
+      maxBucket: Int = 256): DataFrame = {
+    val bucketed = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+        axisSignBucket(col(vecCol), nPlanes).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val verified = cappedCandidates(bucketed.select("id", "bucket"), maxBucket)
+        .join(bucketed.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+        .join(bucketed.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+        .filter(graft.functions.cosine_sim(col("v_a"), col("v_b")) >= threshold)
+        .select("id_a", "id_b")
+      Dedup.clusterDups(spark, verified, embs.select(col(idCol)), idCol)
+    } finally bucketed.unpersist()
+  }
+}

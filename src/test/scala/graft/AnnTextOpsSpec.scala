@@ -52,6 +52,26 @@ class AnnTextOpsSpec extends SparkSpec {
     lsh.head.getLong(0) shouldBe 0L
   }
 
+  test("ivfTopK scans only the query's argmax bucket, query ranks first") {
+    val df = embs()
+    val q = df.orderBy("vec_id").select("embedding").head().getSeq[Float](0).toArray
+    val top = Ann.ivfTopK(df, q, 10, m = 4).collect()
+    // the query vector is in its own bucket by construction
+    top.head.getAs[Long]("vec_id") shouldBe 0L
+    top.head.getAs[Double]("cos") shouldBe 1.0 +- 1e-5
+    // every hit shares the query's coarse bucket (the probe's pruning
+    // invariant), and scores agree with brute force
+    val head4 = q.take(4)
+    val qb = head4.indexOf(head4.max) + 1
+    val buckets = df.select(col("vec_id"),
+        Ann.ivfBucket(col("embedding"), 4).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    top.foreach(r => buckets(r.getAs[Long]("vec_id")) shouldBe qb.toLong)
+    val brute = Ann.bruteForceTopK(df, q, 200)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    top.foreach(r => r.getAs[Double]("cos") shouldBe brute(r.getAs[Long]("vec_id")) +- 1e-9)
+  }
+
   test("bucketed write path: probed scan prunes partitions and matches lshTopK") {
     val df = embs()
     val q = df.orderBy("vec_id").select("embedding").head().getSeq[Float](0).toArray

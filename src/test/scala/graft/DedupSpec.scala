@@ -96,6 +96,34 @@ class DedupSpec extends SparkSpec {
     uncapped.get(1L) shouldBe Some(0L)
   }
 
+  test("portable md5 twins find the same planted dups as the production family") {
+    import graft.ops.Portable
+    val mh = Portable.nearDupMd5(spark, docs(), "doc_id",
+      graft.ops.Dedup.charShingles(lower(col("text")), 5), threshold = 0.7)
+      .as[(Long, Long)].collect().toMap
+    mh(1L) shouldBe 0L
+    mh(2L) shouldBe 0L
+    mh.keySet should not contain 4L
+    val ng = Portable.nearDupMd5(spark, docs(), "doc_id",
+      Portable.wordNgramSet(col("text"), 3), threshold = 0.6)
+      .as[(Long, Long)].collect().toMap
+    ng(1L) shouldBe 0L
+    ng.keySet should not contain 4L
+    val sim = Portable.simhashNearDupMd5(spark, docs(), maxHamming = 6)
+      .as[(Long, Long)].collect().toMap
+    sim(1L) shouldBe 0L
+    sim.keySet should not contain 4L
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.1f)),
+      (1L, Array(0.99f, 0.01f, 0.0f, 0.1f)),
+      (2L, Array(-1.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val ed = Portable.embeddingNearDupPortable(spark, embs,
+      threshold = 0.95, nPlanes = 4).as[(Long, Long)].collect().toMap
+    ed.get(1L) shouldBe Some(0L)
+    ed.keySet should not contain 2L
+  }
+
   test("charShingles matches the definition") {
     val r = Seq("abcdef").toDF("t")
       .select(Dedup.charShingles(col("t"), 3)).as[Seq[String]].head()

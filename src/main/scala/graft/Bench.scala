@@ -18,12 +18,11 @@ object Bench {
     val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "50000").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", (cpus.toInt * 8).toString)
-      // partitions sized for DATA, not cores: at cores-only partitioning a
-      // 2.4M-page run put ~700MB in each s4 window-sort partition and went
-      // into multi-pass spill (s4 24.6s -> 531s, measured). 8x cores +
-      // AQE coalesce keeps big-input sorts in memory while small inputs
-      // collapse back to few real tasks.
+      // data-scaled between core count and 8x cores — see graft.Partitioning
+      // (flat 8x-cores was the round-2 g01/g03 bench regression: 2.2x on the
+      // fixed-overhead-bound fixture queries)
+      .config("spark.sql.shuffle.partitions",
+        Partitioning.shufflePartitions(cpus.toInt, benchPages).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -45,6 +44,13 @@ object Bench {
       f
       (System.nanoTime() - t0) / 1e9
     }
+
+    // untimed JIT/codegen warmup (JMH-style): g01 runs first and was paying
+    // the whole session's codegen+JIT compilation inside its measured wall
+    // (~2x on the fixed-size fixture — tools/EntryAB cold-vs-warm). Disable
+    // with SPARK_GRAFT_BENCH_WARMUP=0.
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") == "1")
+      SparkEntry.entry(spark).count()
 
     val pipelineOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY_PIPELINE").contains("1")
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()

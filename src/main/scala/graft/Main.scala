@@ -28,12 +28,9 @@ object Main {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .appName("graft-er-pipeline")
-      .config("spark.sql.shuffle.partitions", (cpus.toInt * 8).toString)
-      // partitions sized for DATA, not cores: at cores-only partitioning a
-      // 2.4M-page run put ~700MB in each s4 window-sort partition and went
-      // into multi-pass spill (s4 24.6s -> 531s, measured). 8x cores +
-      // AQE coalesce keeps big-input sorts in memory while small inputs
-      // collapse back to few real tasks.
+      // data-scaled between core count and 8x cores — see graft.Partitioning
+      .config("spark.sql.shuffle.partitions",
+        Partitioning.shufflePartitions(cpus.toInt, nPages).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

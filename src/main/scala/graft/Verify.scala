@@ -9,12 +9,9 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", (cpus.toInt * 8).toString)
-      // partitions sized for DATA, not cores: at cores-only partitioning a
-      // 2.4M-page run put ~700MB in each s4 window-sort partition and went
-      // into multi-pass spill (s4 24.6s -> 531s, measured). 8x cores +
-      // AQE coalesce keeps big-input sorts in memory while small inputs
-      // collapse back to few real tasks.
+      // correctness runs on the tiny sf0.01 tables: core-count partitions
+      // (the data-scaled policy's floor — see graft.Partitioning)
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -25,7 +25,7 @@ object Main {
     val resume = !args.contains("--no-resume")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
 
-    val spark = SparkSession.builder()
+    val spark = applyBuilderConf(SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .appName("graft-er-pipeline")
       // data-scaled between core count and 8x cores — see graft.Partitioning
@@ -38,6 +38,13 @@ object Main {
       .config("spark.local.dir",
         sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
           System.getProperty("java.io.tmpdir", "/tmp")))
+      // long single-box runs accumulate shuffle files until a JVM GC triggers
+      // the ContextCleaner; with a large heap that can be never, and on
+      // tmpfs shuffle dirs the files are RAM — a 9.6M-page run OOM'd at 64G
+      // of dead shuffle before this. Periodic GC bounds it; static conf, so
+      // it must be set on the builder (SPARK_GRAFT_CONF is session-time only)
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "5min")))
       .getOrCreate()
     // extra session confs via SPARK_GRAFT_CONF="k=v;k=v" (bench experiments)
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
@@ -81,5 +88,18 @@ object Main {
       s""""f1":${f1.getDouble(2)},"wall_sec":$wall,""" +
       s""""pages_per_sec":${nPages / wall}}""")
     spark.stop()
+  }
+
+  /** STATIC confs (must exist before the session does — SPARK_GRAFT_CONF is
+    * session-time only): SPARK_GRAFT_BUILDER_CONF="k=v;k=v". Used by the
+    * large-run scripts for memory knobs like spark.memory.storageFraction. */
+  private def applyBuilderConf(b: org.apache.spark.sql.SparkSession.Builder):
+      org.apache.spark.sql.SparkSession.Builder = {
+    sys.env.get("SPARK_GRAFT_BUILDER_CONF").foreach(_.split(";")
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k, v)
+      })
+    b
   }
 }

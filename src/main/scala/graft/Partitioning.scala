@@ -27,4 +27,18 @@ object Partitioning {
       pagesPerPartition: Long = 1000L): Int =
     math.max(cores.toLong,
       math.min(8L * cores, nPages / pagesPerPartition)).toInt
+
+  /** CC per-round shuffle partitioning. Round 2 pinned CC to the core count
+    * (256 partitions made 2.4M-page CC 3.5x slower — per-round task overhead
+    * dominates small shuffles), but a flat pin has its own wall: at 9.6M
+    * pages the symmetric edge set is ~10^8 string rows, and 32 concurrent
+    * sort/agg tasks each holding edges/32 in memory OOM'd a 56g heap
+    * (measured, stage 59). So CC partitions also scale with data, just on a
+    * much slower ramp than the one-pass stages: ~1 partition per 75k pages,
+    * floor cores, cap 8x cores — 2.4M keeps the round-2 optimum (32), 9.6M
+    * gets 128 (bounded per-task memory), tests/fixtures stay at cores. */
+  def ccPartitions(cores: Int, nPages: Long,
+      pagesPerPartition: Long = 75000L): Int =
+    math.max(cores.toLong,
+      math.min(8L * cores, nPages / pagesPerPartition)).toInt
 }

@@ -195,9 +195,14 @@ object Pipeline {
     }
 
     val clusters = stage(spark, cfg, "s5_clusters", pending) {
+      // CC partitions scale with data on a slow ramp (Partitioning doc):
+      // pages.count() is a metadata-cheap read of the committed s0 parquet
+      val ccParts = Partitioning.ccPartitions(
+        spark.sparkContext.defaultParallelism, pages.count())
       Clustering.clusters(spark, scored,
         pages.filter(col("lang") === "en" && col("invariant_ok")),
-        if (cfg.ccDurableIterations) Some(s"${cfg.checkpointDir}/cc") else None)
+        if (cfg.ccDurableIterations) Some(s"${cfg.checkpointDir}/cc") else None,
+        partitions = Some(ccParts))
     }
 
     // per-document taxonomy rollup (reference step9 admission-level agg):

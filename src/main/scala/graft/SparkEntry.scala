@@ -359,6 +359,17 @@ object SparkEntry {
         array_join(sort_array(collect_set(col("r_name"))), ",").as("regions"),
         countDistinct(col("s_suppkey")).as("n_suppliers"))),
 
+    // ---- diverse per-key cap (SURVEY.md O7; reference 25-per-mention
+    // diverse sampling): deterministic content-hash order => an unbiased,
+    // repartition-stable k-per-key sample, WindowGroupLimit-friendly ----
+    "q30_diverse_cap" -> ((s, d) =>
+      Scoring.topKPerKey(t(s, d, "lineitem"), Seq("l_suppkey"),
+        Seq(md5(concat_ws(":", lit(42), col("l_orderkey"), col("l_linenumber"))).asc,
+          col("l_orderkey").asc, col("l_linenumber").asc), 5)
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("kept_qty"))),
+
     // ---- nested annotation-document JSON (SURVEY.md S4; reference
     // step0_mimic3_data_processing.py:151-181): a per-doc JSON with doc
     // structure -> {text, start, anns[{startNode/endNode offsets, features}]}
@@ -772,6 +783,15 @@ object SparkEntry {
                ELSE cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) as double) /
                     cast(length(text) as double) END AS alpha_ratio
            FROM documents)""",
+    "q30_diverse_cap" ->
+      """SELECT l_suppkey, count(*) AS n_kept,
+         cast(sum(cast(l_quantity as decimal(18,2))) as double) AS kept_qty
+         FROM (SELECT l_suppkey, l_quantity, row_number() OVER (
+             PARTITION BY l_suppkey
+             ORDER BY md5(concat_ws(':', 42, l_orderkey, l_linenumber)) ASC,
+               l_orderkey ASC, l_linenumber ASC) AS rn
+           FROM lineitem)
+         WHERE rn <= 5 GROUP BY l_suppkey""",
     "q29_json_anns" ->
       """WITH built AS (
            SELECT doc_id,

@@ -87,15 +87,18 @@ object Clustering {
     */
   def connectedComponents(spark: SparkSession, edges0: DataFrame,
       checkpointDir: Option[String] = None, maxIter: Int = 50,
-      roundsPerCut: Int = 1): DataFrame = {
+      roundsPerCut: Int = 1, partitions: Option[Int] = None): DataFrame = {
     // CC is coordination-bound: O(log n) rounds of SMALL shuffles. A
     // data-scaled global shuffle-partition setting (right for the one-pass
     // stages) multiplies per-round task count and made CC 3.5x slower at
-    // 2.4M pages (54s -> 189s at 32 -> 256 partitions, measured). Pin CC's
-    // shuffles to the core count and restore the session setting after.
+    // 2.4M pages (54s -> 189s at 32 -> 256 partitions, measured). So CC's
+    // shuffles default to the core count (session setting restored after) —
+    // but a flat pin OOMs once edges/cores no longer fits a task's sort
+    // (9.6M pages / 56g heap, measured): large inputs must pass a
+    // data-scaled `partitions` (Partitioning.ccPartitions; Pipeline does).
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
-      math.max(2, spark.sparkContext.defaultParallelism).toString)
+      math.max(2, partitions.getOrElse(spark.sparkContext.defaultParallelism)).toString)
     try connectedComponentsInner(spark, edges0, checkpointDir, maxIter, roundsPerCut)
     finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
@@ -146,10 +149,11 @@ object Clustering {
   /** Cluster assignment for every node that appears in `nodes`: CC labels for
     * connected nodes, self-cluster for isolated ones. */
   def clusters(spark: SparkSession, matchPairs: DataFrame, nodes: DataFrame,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      partitions: Option[Int] = None): DataFrame = {
     val edges = matchPairs.filter(col("is_match"))
       .select(col("url_a").as("u"), col("url_b").as("v"))
-    val cc = connectedComponents(spark, edges, checkpointDir)
+    val cc = connectedComponents(spark, edges, checkpointDir, partitions = partitions)
     nodes.select(col("url")).distinct()
       .join(cc, Seq("url"), "left")
       .select(col("url"), coalesce(col("cluster_id"), col("url")).as("cluster_id"))

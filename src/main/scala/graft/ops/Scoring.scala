@@ -119,6 +119,22 @@ object Scoring {
       withFeatures(hydrate(pairs, mentions, broadcastMentions), embedDim, seed), w)
       .drop("ctx_a", "ctx_b"))
 
+  /** Diverse per-key cap (SURVEY.md O7; reference caps data per mention at
+    * 25 for diverse sampling, `main_scripts/sent_bert_emb_viz_util.py:454-469`):
+    * keep the top-k rows per key by the given ordering. With a content-hash
+    * ordering this is a deterministic unbiased per-key sample (diversity
+    * cap); with a score ordering it is per-key top-k. rank<=k windows get the
+    * WindowGroupLimit rewrite — partial top-k BEFORE the shuffle, so a key
+    * with 10^6 rows ships only k per map partition. */
+  def topKPerKey(df: DataFrame, keyCols: Seq[String],
+      order: Seq[org.apache.spark.sql.Column], k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Rule-gated ensemble decision (reference `evaluation_util.py:17-38`):
     * when both weak rules fire the pair is a match, when neither fires it is
     * a non-match, and only the disagreement region defers to the model score.

@@ -53,4 +53,18 @@ class ScoringSpec extends SparkSpec {
     a.length shouldBe 2
     a.map(_.getAs[String]("url_b")).sorted shouldBe Array("u2", "u3")
   }
+
+  test("topKPerKey keeps exactly k deterministic rows per key (O7 diverse cap)") {
+    val df = (1 to 40).map(i => (i % 4, i.toLong)).toDF("k", "v")
+    def cap() = Scoring.topKPerKey(df, Seq("k"),
+      Seq(md5(concat_ws(":", col("k"), col("v"))).asc, col("v").asc), 3)
+    val counts = cap().groupBy("k").count().as[(Int, Long)].collect().toMap
+    counts.values.toSet shouldBe Set(3L)
+    counts.keySet shouldBe Set(0, 1, 2, 3)
+    // content-derived order => the kept subset is identical across runs
+    cap().as[(Int, Long)].collect().toSet shouldBe cap().as[(Int, Long)].collect().toSet
+    // keys smaller than k keep everything
+    val small = (1 to 2).map(i => (9, i.toLong)).toDF("k", "v")
+    Scoring.topKPerKey(small, Seq("k"), Seq(col("v").asc), 3).count() shouldBe 2L
+  }
 }

@@ -11,7 +11,8 @@ import graft.ops.Metrics
   * checkpoint/resume under `checkpointDir`, evaluates pairwise F1 against the
   * gold pairs, and prints a one-line JSON summary.
   *
-  * Usage: graft.Main <checkpointDir> [nPages] [nEntities] [--no-resume] [--fit]
+  * Usage: graft.Main <checkpointDir> [nPages] [nEntities] [--no-resume]
+  *   [--fit] [--durable-cc] [--shuffle-hydration]
   *
   * --fit inserts the in-engine training stage (weak labels -> IRLS -> swept
   * threshold) and scores with the FITTED model (committed/reloaded as the
@@ -56,8 +57,20 @@ object Main {
 
     val p = SynthParams(nPages = nPages, nEntities = nEntities)
     val fit = args.contains("--fit")
+    // --durable-cc: CC lineage cuts commit to parquet instead of BlockManager
+    // localCheckpoints — at 9.6M+ pages the accumulated per-round cached
+    // blocks plus 32 concurrent sort tasks OOM'd a 56g heap; durable cuts
+    // trade a few parquet round-trips for zero storage-memory pinning (the
+    // config the PipelineConfig doc prescribes for the largest runs)
     val cfg = PipelineConfig(checkpointDir = checkpointDir, resume = resume,
-      fitWeights = fit)
+      fitWeights = fit,
+      ccDurableIterations = args.contains("--durable-cc"),
+      // --shuffle-hydration: force the at-scale hydration strategy (narrow
+      // shuffle joins) instead of broadcasting the mentions projection —
+      // on one box the broadcast's heap residency competes with 32 sort
+      // tasks; on a real cluster the byte-auto switch stands
+      broadcastMentions =
+        if (args.contains("--shuffle-hydration")) Some(false) else None)
     val fitGold =
       if (!fit) None
       else Some(GoldGen.goldPairs(spark, p, cfg.maxBlock, cfg.saltThreshold, cfg.nSalts)

@@ -89,10 +89,19 @@ object Main {
     val nRolledDocs = result.docRollup.map(_.count()).getOrElse(0L)
     val wall = (System.nanoTime() - t0) / 1e9
 
-    val gold = GoldGen.goldPairs(spark, p, cfg.maxBlock, cfg.saltThreshold, cfg.nSalts)
-    val f1 = Metrics.pairwiseF1(result.scored, gold)
-      .filter(col("split") === "test")
-      .select("precision", "recall", "f1").head()
+    // --no-eval: skip the gold-pair F1 evaluation (it re-runs blocking over
+    // the whole fixture — heavier than some pipelines; at 9.6M pages it
+    // OOM'd AFTER the timed wall and took the throughput JSON down with it).
+    // The emitted F1 fields are -1 sentinels in that mode.
+    val f1 =
+      if (args.contains("--no-eval"))
+        org.apache.spark.sql.Row(-1.0, -1.0, -1.0)
+      else {
+        val gold = GoldGen.goldPairs(spark, p, cfg.maxBlock, cfg.saltThreshold, cfg.nSalts)
+        Metrics.pairwiseF1(result.scored, gold)
+          .filter(col("split") === "test")
+          .select("precision", "recall", "f1").head()
+      }
 
     println(
       s"""{"pages":$nPages,"pairs":$nPairs,"clusters":$nClusters,""" +

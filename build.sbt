@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to the real stdout/stderr instead of the
+// sbt logger: the driver machine-parses Bench/Main's one-line JSON, and the
+// logger's "[info] " prefix has made that line unparseable every round
+// (BENCH_r0*.json "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

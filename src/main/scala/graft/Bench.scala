@@ -39,67 +39,87 @@ object Bench {
       })
     spark.sparkContext.setLogLevel("WARN")
 
-    def time(f: => Long): Double = {
-      val t0 = System.nanoTime()
-      f
-      (System.nanoTime() - t0) / 1e9
-    }
+    def loadavg: Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadavg
 
     // untimed JIT/codegen warmup (JMH-style): g01 runs first and was paying
     // the whole session's codegen+JIT compilation inside its measured wall
     // (~2x on the fixed-size fixture — tools/EntryAB cold-vs-warm). Disable
-    // with SPARK_GRAFT_BENCH_WARMUP=0.
-    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") == "1")
-      SparkEntry.entry(spark).count()
+    // with SPARK_GRAFT_BENCH_WARMUP=0. The setting is emitted in the JSON so
+    // cross-round comparisons can tell warm from cold g01 numbers
+    // (warm since round 3; rounds 1-2 measured cold).
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") == "1"
+    if (warmup) SparkEntry.entry(spark).count()
 
+    // Interleaved best-of-N (round-3 advice: one unguarded single-shot JSON
+    // let a noisy host window become the round's official number — a 1.6x
+    // phantom regression). All queries run as a full pass, then the pass
+    // repeats; per query the MIN across passes is reported (the run least
+    // disturbed by external load — this host's noise is strictly additive).
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
     val pipelineOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY_PIPELINE").contains("1")
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     // a crashing query must be visible in the JSON (time = -1 sentinel +
     // "failed" list), never recorded as a fast success
-    val failed = scala.collection.mutable.ListBuffer[String]()
-    if (!pipelineOnly) {
-      // near-dup/ANN names measure the PRODUCTION hash family (xxhash/custom
-      // kernels), not the md5 oracle twins Verify checks — same dataflow
-      // shape, the hash kernel a deployment actually runs, and the series
-      // BENCH_r01/r02 measured (see SparkEntry.benchOverrides doc).
-      (SparkEntry.queries ++ SparkEntry.benchOverrides)
-        .toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).count()
-          results(name) = (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
-          results(name) = -1.0
-          failed += name
-          System.err.println(s"[bench] query $name FAILED: ${e.getMessage}")
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    for (rep <- 1 to reps) {
+      if (!pipelineOnly) {
+        // near-dup/ANN names measure the PRODUCTION hash family (xxhash/
+        // custom kernels), not the md5 oracle twins Verify checks — same
+        // dataflow shape, the hash kernel a deployment actually runs, and the
+        // series BENCH_r01/r02 measured (see SparkEntry.benchOverrides doc).
+        (SparkEntry.queries ++ SparkEntry.benchOverrides)
+          .toSeq.sortBy(_._1).foreach { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            val sec = (System.nanoTime() - t0) / 1e9
+            results(name) = results.get(name).filter(_ >= 0)
+              .fold(sec)(math.min(_, sec))
+            failed -= name
+          } catch { case e: Throwable =>
+            if (!results.get(name).exists(_ >= 0)) {
+              results(name) = -1.0
+              failed += name
+            }
+            System.err.println(s"[bench] query $name FAILED (rep $rep): " +
+              e.getMessage)
+          }
         }
       }
-    }
-
-    // ER pipeline end-to-end, in memory (the BASELINE throughput metric)
-    val p = SynthParams(nPages = benchPages, nEntities = math.max(200, benchPages / 25))
-    // measure the REAL product path: the checkpointed Pipeline (stage
-    // materialization also prevents the multi-consumer subtrees from being
-    // recomputed, so it is both the deployed configuration and the fastest)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-bench").toString
-    val pipelineSec = time {
+      // ER pipeline end-to-end (the BASELINE throughput metric) — the REAL
+      // product path: the checkpointed Pipeline (stage materialization also
+      // prevents the multi-consumer subtrees from being recomputed, so it is
+      // both the deployed configuration and the fastest). Fresh throwaway
+      // checkpoint per rep: resume must never contaminate the timing.
+      val p = SynthParams(nPages = benchPages,
+        nEntities = math.max(200, benchPages / 25))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-bench").toString
+      val t0 = System.nanoTime()
       val result = Pipeline.run(spark, Synth.pages(spark, p).toDF(),
         Synth.dict(spark, p).toDF(),
         PipelineConfig(checkpointDir = ckpt, resume = false, runId = "bench"))
       result.clusters.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      results("er_pipeline") =
+        results.get("er_pipeline").fold(sec)(math.min(_, sec))
+      scala.reflect.io.Directory(new java.io.File(ckpt)).deleteRecursively()
     }
-    // clean up the throwaway checkpoint
-    scala.reflect.io.Directory(new java.io.File(ckpt)).deleteRecursively()
-    results("er_pipeline") = pipelineSec
-    val pagesPerSec = benchPages / pipelineSec
+    SparkEntry.releaseBenchCaches()
+    val pagesPerSec = benchPages / results("er_pipeline")
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":$failedJson,"sf":"$sfDir","bench_pages":$benchPages,""" +
-      s""""pages_per_sec":$pagesPerSec,"cpus":$cpus}""")
+      s""""pages_per_sec":$pagesPerSec,"cpus":$cpus,"reps":$reps,""" +
+      s""""warmup":${if (warmup) 1 else 0},"loadavg_start":$loadStart,""" +
+      s""""loadavg_end":$loadavg}""")
     spark.stop()
   }
 }

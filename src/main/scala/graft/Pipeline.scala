@@ -166,11 +166,15 @@ object Pipeline {
 
     // byte-based auto: one cheap scan of the committed s1 checkpoint summing
     // the projection's string payload (+24B/row envelope); lazy so it is paid
-    // only when a consuming stage (fit / scoring) actually recomputes
+    // only when a consuming stage (fit / scoring) actually recomputes.
+    // octet_length (UTF-8 BYTES, not chars — multi-byte text undercounted
+    // otherwise), each column coalesced to 0 so a null never erases the
+    // row's other columns or its fixed overhead (round-3 advice).
     lazy val bcast = cfg.broadcastMentions.getOrElse {
+      def oct(c: String) = coalesce(octet_length(col(c)).cast("long"), lit(0L))
       val bytes = mentions.agg(coalesce(sum(
-        length(col("surface")) + length(col("ctx")) + length(col("url")) +
-          lit(24)), lit(0L))).head().getLong(0)
+        oct("surface") + oct("ctx") + oct("url") + lit(24L)),
+        lit(0L))).head().getLong(0)
       bytes <= cfg.broadcastMentionsMaxBytes
     }
 

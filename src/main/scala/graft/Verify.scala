@@ -19,6 +19,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Dump the deterministic flagship fixture to parquet OUTSIDE outDir (the
+    // driver treats every outDir subdirectory as a query result): the g01
+    // oracle SQL reads these files, so DuckDB replays the portable ER twin
+    // over byte-identical inputs. Path is substituted for __FIXTURE_DIR__
+    // in oracle_sql.json below.
+    val fixDir = sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR",
+      System.getProperty("java.io.tmpdir", "/tmp") + "/graft_g01_fixture")
+    val fp = SparkEntry.FlagshipParams
+    graft.gen.Synth.pages(spark, fp).toDF().coalesce(4)
+      .write.mode("overwrite").parquet(s"$fixDir/pages.parquet")
+    graft.gen.Synth.dict(spark, fp).toDF().coalesce(1)
+      .write.mode("overwrite").parquet(s"$fixDir/dict.parquet")
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -39,7 +51,9 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("__FIXTURE_DIR__", fixDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

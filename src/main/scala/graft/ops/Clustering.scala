@@ -122,8 +122,16 @@ object Clustering {
       }
       val cut = checkpointDir match {
         case Some(dir) =>
-          val path = s"$dir/cc_round_${round + roundsThisCut - 1}"
+          val ri = round + roundsThisCut - 1
+          val path = s"$dir/cc_round_$ri"
           next.write.mode("overwrite").parquet(path)
+          // round ri-1 fed this write and is never read again (no mid-loop
+          // resume is implemented; the caller reads only the FINAL cut) —
+          // keep it one extra round as a safety margin and drop ri-2: at
+          // 9.6M pages each cut is GBs and a dozen accumulate otherwise.
+          val stale = new java.io.File(s"$dir/cc_round_${ri - 2}")
+          if (ri >= 2 && stale.exists())
+            scala.reflect.io.Directory(stale).deleteRecursively()
           spark.read.parquet(path)
         case None =>
           next.localCheckpoint(eager = true)

@@ -49,16 +49,19 @@ object Dedup {
     * one MEMORY_AND_DISK cache per invocation for the session lifetime. */
   def minhashCandidatesManaged(docs: DataFrame, idCol: String, textCol: String,
       bands: Int = 16, rows: Int = 4, maxBucket: Int = 256,
-      seed: Long = 42L): (DataFrame, () => Unit) = {
-    // persist: the keyed (minhash over full text) subtree feeds the
+      seed: Long = 42L, persist: Boolean = true): (DataFrame, () => Unit) = {
+    // persist (default): the keyed (minhash over full text) subtree feeds the
     // bucket-size agg, the join back, AND both sides of the self-join —
     // without it the expensive signature is recomputed ~3x (same rationale
-    // as Blocking.blocks)
-    val keyed = docs.select(col(idCol).as("id"),
-        explode(lsh_band_keys(
-          minhash_sig(lower(col(textCol)), k = 5, numHashes = bands * rows,
-            seed = seed), bands, rows)).as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // as Blocking.blocks). persist=false builds the same plan with no cache
+    // (each consumer recomputes the band table) and a no-op release handle.
+    val keyed0 = docs.select(col(idCol).as("id"),
+      explode(lsh_band_keys(
+        minhash_sig(lower(col(textCol)), k = 5, numHashes = bands * rows,
+          seed = seed), bands, rows)).as("bucket"))
+    val keyed =
+      if (persist) keyed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else keyed0
     val sized = keyed.groupBy("bucket").agg(count(lit(1)).as("n"))
       .filter(col("n") <= maxBucket && col("n") > 1)
     val inBuckets = keyed.join(sized, "bucket")
@@ -66,17 +69,18 @@ object Dedup {
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    (cands, () => { keyed.unpersist(); () })
+    (cands, () => { if (persist) keyed.unpersist(); () })
   }
 
-  /** Unmanaged candidate view (tests / one-shot sessions): no cache, so the
-    * band table is recomputed by each consumer — prefer
-    * minhashCandidatesManaged in anything long-lived. */
+  /** Unmanaged candidate view (tests / one-shot sessions): built with
+    * persist=false, so the band table is recomputed by each consumer and
+    * nothing leaks — prefer minhashCandidatesManaged in anything long-lived
+    * or multi-consumer. */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       bands: Int = 16, rows: Int = 4, maxBucket: Int = 256,
       seed: Long = 42L): DataFrame = {
-    val (cands, _) =
-      minhashCandidatesManaged(docs, idCol, textCol, bands, rows, maxBucket, seed)
+    val (cands, _) = minhashCandidatesManaged(docs, idCol, textCol, bands, rows,
+      maxBucket, seed, persist = false)
     cands
   }
 
@@ -90,21 +94,30 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
     val (cands, release) = minhashCandidatesManaged(docs, idCol, textCol, seed = seed)
-    try {
-      // precompute each doc's sorted shingle-hash set ONCE: a doc appearing in
-      // p candidate pairs was previously re-shingled p times inside the
-      // per-pair kernel (O(L log L) each); now verification is a merge-count
-      // over two cached arrays
-      val texts = docs.select(col(idCol).as("id"),
-        shingle_hashes(lower(col(textCol)), 5).as("sh"))
-      val verified = cands
-        .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .withColumn("jaccard", sorted_jaccard(col("sh_a"), col("sh_b")))
-        .filter(col("jaccard") >= threshold)
-        .select(col("id_a"), col("id_b"))
-      clusterDups(spark, verified, docs, idCol)
-    } finally release()
+    try minhashNearDupFrom(spark, docs, cands, idCol, textCol, threshold)
+    finally release()
+  }
+
+  /** MinHash verification+clustering over PRECOMPUTED candidate pairs —
+    * lets two consumers (e.g. the minhash and n-gram verifiers) share ONE
+    * candidate table instead of each rebuilding the band self-join (round-2's
+    * accidental-cache-reuse speedup, made deliberate). */
+  def minhashNearDupFrom(spark: SparkSession, docs: DataFrame, cands: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.8): DataFrame = {
+    // precompute each doc's sorted shingle-hash set ONCE: a doc appearing in
+    // p candidate pairs was previously re-shingled p times inside the
+    // per-pair kernel (O(L log L) each); now verification is a merge-count
+    // over two cached arrays
+    val texts = docs.select(col(idCol).as("id"),
+      shingle_hashes(lower(col(textCol)), 5).as("sh"))
+    val verified = cands
+      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard", sorted_jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    clusterDups(spark, verified, docs, idCol)
   }
 
   /** SimHash near-dup: 64-bit simhash banded into 4x16-bit bands (any shared
@@ -143,18 +156,46 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text", n: Int = 3,
       threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
     val (cands, release) = minhashCandidatesManaged(docs, idCol, textCol, seed = seed)
-    try {
-      // same precompute-once trick as minhashNearDup, over word n-gram sets
-      val texts = docs.select(col(idCol).as("id"),
-        ngram_hashes(col(textCol), n).as("sh"))
-      val verified = cands
-        .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .withColumn("jaccard", sorted_jaccard(col("sh_a"), col("sh_b")))
-        .filter(col("jaccard") >= threshold)
-        .select("id_a", "id_b")
-      clusterDups(spark, verified, docs, idCol)
-    } finally release()
+    try ngramJaccardNearDupFrom(spark, docs, cands, idCol, textCol, n, threshold)
+    finally release()
+  }
+
+  /** N-gram verification+clustering over precomputed candidates (see
+    * minhashNearDupFrom). */
+  def ngramJaccardNearDupFrom(spark: SparkSession, docs: DataFrame,
+      cands: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, threshold: Double = 0.7): DataFrame = {
+    // same precompute-once trick as minhashNearDup, over word n-gram sets
+    val texts = docs.select(col(idCol).as("id"),
+      ngram_hashes(col(textCol), n).as("sh"))
+    val verified = cands
+      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard", sorted_jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b")
+    clusterDups(spark, verified, docs, idCol)
+  }
+
+  /** Shared-candidate session for one corpus: computes + caches the minhash
+    * LSH candidate table ONCE and serves it to BOTH verifiers (the minhash
+    * and word-n-gram near-dup queries call minhashCandidatesManaged with
+    * identical arguments — two full band self-joins for one candidate set).
+    * Call close() after the LAST consumer has materialized its result. */
+  final class NearDupCorpus(spark: SparkSession, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", seed: Long = 42L) {
+    private val (cands, release) =
+      minhashCandidatesManaged(docs, idCol, textCol, seed = seed)
+    // the candidate table itself is also cached: each verifier's two hydration
+    // joins + distinct read it, and recomputing it means re-running the band
+    // self-join the corpus cache exists to avoid
+    private val candsCached =
+      cands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def minhash(threshold: Double = 0.8): DataFrame =
+      minhashNearDupFrom(spark, docs, candsCached, idCol, textCol, threshold)
+    def ngram(n: Int = 3, threshold: Double = 0.7): DataFrame =
+      ngramJaccardNearDupFrom(spark, docs, candsCached, idCol, textCol, n, threshold)
+    def close(): Unit = { candsCached.unpersist(); release() }
   }
 
   /** Embedding-cosine near-dup over `embeddings(vec_id, embedding)`:

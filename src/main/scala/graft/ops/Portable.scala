@@ -128,6 +128,96 @@ object Portable {
     } finally hashed.unpersist()
   }
 
+  /** Oracle-portable twin of the FLAGSHIP ER pipeline (g01): the same
+    * stage sequence as Pipeline.run — latest-snapshot dedup + extraction
+    * invariant → mention extraction → dictionary + LSH blocking with the
+    * stop-key cap → candidate pairs → context-overlap scoring → CC
+    * clustering → cluster sizes — built exclusively from operations an
+    * independent SQL engine reproduces bit-identically:
+    *
+    *  - hashes: md5 only (snapshot tiebreak, minhash signature);
+    *  - mention extraction: regexp_extract_all of the Capitalized-run
+    *    pattern (both engines' regex engines agree on this pattern), one
+    *    DISTINCT (url, norm_key) row per surface — the per-occurrence
+    *    offsets/ctx windows of the production Extract.mentions are
+    *    deliberately out of the portable surface (xxhash64 mention ids and
+    *    position-aware extraction have no SQL twin);
+    *  - scoring: the production run scores with the JW/Lev/Jaccard/ctx-cosine
+    *    ensemble; the twin's portable stand-in is the size of the
+    *    intersection of the two pages' distinct-token sets (>= minShared) —
+    *    integer set arithmetic, engine-exact, and on the fixture it is the
+    *    same signal the ctx-cosine reads (same-entity pages share >= 4
+    *    planted topic words; unrelated pages share ~0.1 filler words in
+    *    expectation), so it separates the shared-abbreviation traps the
+    *    string features cannot (gen/Synth.scala design notes);
+    *  - clustering: Clustering.connectedComponents on url strings, checked
+    *    in SQL by the same recursive-CTE transitive closure as g02-g04/g11.
+    *
+    * Output: (cluster_id = min url of the component, cluster_size), clusters
+    * of size >= 2 only — the shape of SparkEntry.entry. Reference analogue:
+    * the full document-processing pipeline,
+    * `main_scripts/step9_processing_all_documents.py:123-215`. */
+  def erClustersPortable(spark: SparkSession, pages: DataFrame,
+      dict: DataFrame, maxBlock: Int = 256, minShared: Int = 3): DataFrame =
+    erComponentsPortable(spark, pages, dict, maxBlock, minShared)
+      .groupBy("cluster_id")
+      .agg((count(lit(1)) + lit(1)).as("cluster_size"))
+
+  /** Node-level output of the portable ER twin: (url, cluster_id) for every
+    * non-representative member (the cluster_id is the component's min url) —
+    * erClustersPortable aggregates this to sizes; PortableErSpec checks its
+    * purity against the planted entity truth. */
+  def erComponentsPortable(spark: SparkSession, pages: DataFrame,
+      dict: DataFrame, maxBlock: Int = 256, minShared: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // s0: latest snapshot per url (md5 tiebreak), extraction invariant, lang
+    val w = Window.partitionBy("url")
+      .orderBy(col("warc_ts").desc, md5(col("html")).asc)
+    val body = regexp_extract(col("html").cast("string"), "<p>(.*)</p>", 1)
+    val ok = pages.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .filter(col("lang") === "en" &&
+        md5(body.cast("binary")) === md5(col("text").cast("binary")))
+      .select(col("url"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // s1: distinct normalized mention keys per page
+      val men = ok.select(col("url"), explode(regexp_extract_all(col("text"),
+          lit("[A-Z][A-Za-z0-9]*( [A-Z][A-Za-z0-9]*)*"), lit(0))).as("surface"))
+        .filter(length(col("surface")) >= 2)
+        .select(col("url"),
+          regexp_replace(lower(col("surface")), "[^a-z0-9]+", "").as("nk"))
+        .distinct()
+      // s2: dictionary blocks (broadcast ontology join) + md5-minhash LSH
+      // blocks over char-3-shingles of the normalized key, stop-key capped
+      val dictKeys = dict.select(col("entity_id"), explode(col("keys")).as("nk"))
+      val dictBlk = men.join(broadcast(dictKeys), Seq("nk"))
+        .select(concat(lit("e:"), col("entity_id")).as("bucket"), col("url"))
+      val sh3 = when(length(col("nk")) < 3, array(col("nk"))).otherwise(
+        array_distinct(transform(sequence(lit(1), length(col("nk")) - 2),
+          i => col("nk").substr(i, lit(3)))))
+      val lshBlk = men.select(
+        explode(bandBuckets(md5MinhashSig(sh3, 16), 8, 2)).as("bucket"),
+        col("url"))
+      val blocks = dictBlk.unionByName(lshBlk).distinct()
+        .withColumnRenamed("url", "id")
+      // s3: capped within-block pairs (same machinery as the near-dup twins)
+      val cands = cappedCandidates(blocks, maxBlock)
+      // s4: portable context-overlap scorer
+      val toks = ok.select(col("url"),
+        graft.functions.token_set(col("text")).as("tk"))
+      val verified = cands
+        .join(toks.select(col("url").as("id_a"), col("tk").as("tk_a")), "id_a")
+        .join(toks.select(col("url").as("id_b"), col("tk").as("tk_b")), "id_b")
+        .filter(size(array_intersect(col("tk_a"), col("tk_b"))) >= minShared)
+        .select("id_a", "id_b")
+      // s5: CC over url strings (eager: every round materializes, so the
+      // returned frame reads only the converged cut — safe to unpersist ok)
+      Clustering.connectedComponents(spark,
+        verified.select(col("id_a").as("u"), col("id_b").as("v")))
+    } finally ok.unpersist()
+  }
+
   /** Axis-aligned sign-LSH bucket: the sign pattern of the first nPlanes
     * embedding components as a bit string — a legitimate (if coarse)
     * random-hyperplane bucket that any SQL engine reproduces exactly. */

@@ -41,6 +41,14 @@ object Training {
     * (post-hydration); `mentions` supplies the prevalence table (one hash
     * agg + two broadcast joins — scales). */
   def weakLabels(featured: DataFrame, mentions: DataFrame,
+      minLen: Int = 8, maxPrevalence: Double = 0.005): DataFrame =
+    weakLabeledAll(featured, mentions, minLen, maxPrevalence)
+      .filter(col("weak_label").isNotNull)
+
+  /** Like weakLabels but KEEPS the rule-disagreement rows (weak_label null)
+    * — the semi-supervised fit overlays gold labels onto exactly that
+    * region. */
+  def weakLabeledAll(featured: DataFrame, mentions: DataFrame,
       minLen: Int = 8, maxPrevalence: Double = 0.005): DataFrame = {
     val total = mentions.count().toDouble
     val prev = mentions
@@ -57,7 +65,6 @@ object Training {
       .withColumn("weak_label",
         when(ruleLen && rulePrev, 1)
           .when(!ruleLen && !rulePrev, 0))
-      .filter(col("weak_label").isNotNull)
       .drop("nk_a", "nk_b", "prev_a", "prev_b")
   }
 
@@ -193,6 +200,29 @@ object Training {
       goldTrain.select(col("url_a"), col("url_b"), col("gold")),
       Seq("url_a", "url_b"))
     val w = fitLogistic(labeled, labelCol = "gold")
+    thresholded(featured, goldValid, w)
+  }
+
+  /** Semi-supervised fit — the OTHER half of the reference's
+    * `other_scripts/step3.3_train_and_test_strong_or_semi_supervised.py`
+    * (strong = gold-only, semi = gold MIXED WITH rule-derived weak labels):
+    * a pair labeled in `goldTrain` trains on its gold label (gold overrides
+    * the rules, including on the rule-disagreement region weak-only training
+    * drops); every other pair falls back to its weak label; pairs with
+    * neither are dropped. Same IRLS, same validation-split threshold sweep. */
+  def fitSemi(featured: DataFrame, mentions: DataFrame, goldTrain: DataFrame,
+      goldValid: DataFrame, minLen: Int = 8,
+      maxPrevalence: Double = 0.005): Scoring.Weights = {
+    val weak = weakLabeledAll(featured, mentions, minLen, maxPrevalence)
+    val labeled = weak.join(
+        goldTrain.select(col("url_a"), col("url_b"),
+          col("gold").as("__gold_label")),
+        Seq("url_a", "url_b"), "left")
+      .withColumn("semi_label",
+        coalesce(col("__gold_label"), col("weak_label")))
+      .filter(col("semi_label").isNotNull)
+      .drop("__gold_label")
+    val w = fitLogistic(labeled, labelCol = "semi_label")
     thresholded(featured, goldValid, w)
   }
 

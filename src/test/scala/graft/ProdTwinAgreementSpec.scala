@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Portable}
+
+/** The timed path must carry its own correctness evidence (round-3 advice):
+  * Bench measures the PRODUCTION near-dup variants (xxhash kernels) under the
+  * same names whose oracle rows Verify earns with the md5 portable twins.
+  * This spec closes the gap for g02/g04 by asserting the two families —
+  * different hash kernels, same dataflow and the same EXACT verification —
+  * produce identical final (doc_id, dup_of) clusters on the driver's real
+  * sf0.01 documents table. (g03/g11 twins differ semantically — 60- vs
+  * 64-bit simhash, axis- vs hashed-plane buckets on different inputs — and
+  * stay pinned by DedupSpec's planted-duplicate agreement instead.) */
+class ProdTwinAgreementSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+  private def docs() = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  override def withFixture(test: NoArgTest) = {
+    assume(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet")), s"no $sfDir")
+    super.withFixture(test)
+  }
+
+  test("g02: production minhash near-dup == md5 twin on sf0.01 documents") {
+    val prod = Dedup.minhashNearDup(spark, docs())
+      .as[(Long, Long)].collect().toSet
+    val twin = Portable.nearDupMd5(spark, docs(), "doc_id",
+        Dedup.charShingles(lower(col("text")), 5), threshold = 0.8)
+      .as[(Long, Long)].collect().toSet
+    prod shouldBe twin
+  }
+
+  test("g04: production ngram near-dup == md5 twin on sf0.01 documents") {
+    val prod = Dedup.ngramJaccardNearDup(spark, docs())
+      .as[(Long, Long)].collect().toSet
+    val twin = Portable.nearDupMd5(spark, docs(), "doc_id",
+        Portable.wordNgramSet(col("text"), 3), threshold = 0.7)
+      .as[(Long, Long)].collect().toSet
+    prod shouldBe twin
+  }
+}

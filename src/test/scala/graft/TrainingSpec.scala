@@ -99,10 +99,13 @@ class TrainingSpec extends SparkSpec {
     featured.unpersist(); gold.unpersist()
   }
 
-  test("strong-supervised fit (gold labels) matches or beats the weak fit") {
+  test("weak vs semi vs strong supervision: F1 ladder on the fixture") {
     // reference other_scripts/step3.3_train_and_test_strong_or_semi_
-    // supervised.py: its best result (F1 0.909 vs 0.858) comes from training
-    // on gold labels with the same model family
+    // supervised.py trains the SAME model family three ways — rule labels
+    // only (weak), gold mixed with rule labels (semi), gold only (strong) —
+    // and its best result (F1 0.909 vs 0.858) comes from the gold end of
+    // that ladder. Reproduced in kind: all three fits pass the >= 0.99 gate,
+    // and adding gold never hurts.
     val p = SynthParams(nPages = 2000, nEntities = 300)
     val pages = Extract.withInvariant(
       Extract.latestSnapshot(Synth.pages(spark, p).toDF()))
@@ -119,15 +122,19 @@ class TrainingSpec extends SparkSpec {
       Metrics.pairwiseF1(scored, gold)
         .filter(col("split") === "test").select("f1").as[Double].head()
     }
-    // strong fit trains on the validation slice's gold labels (held-out test
-    // split untouched), weak fit on rule labels only
+    // gold-consuming fits train on the validation slice's labels only (the
+    // held-out test split stays untouched), weak on rule labels only
     val strong = Training.fitStrong(featured, goldValid, goldValid)
+    val semi = Training.fitSemi(featured, mentions, goldValid, goldValid)
     val weak = Training.fit(featured, mentions, goldValid)
     val f1Strong = testF1(strong)
+    val f1Semi = testF1(semi)
     val f1Weak = testF1(weak)
-    info(s"strong=$f1Strong weak=$f1Weak")
+    info(s"strong=$f1Strong semi=$f1Semi weak=$f1Weak")
     f1Strong should be >= 0.99
+    f1Semi should be >= 0.99
     f1Strong should be >= f1Weak - 1e-6
+    f1Semi should be >= f1Weak - 1e-6
     featured.unpersist(); gold.unpersist()
   }
 

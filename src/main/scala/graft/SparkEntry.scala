@@ -446,6 +446,29 @@ object SparkEntry {
       graft.ops.Metrics.errorAnalysis(preds, gold)
     }),
 
+    // ---- pairwise P/R/F1 evaluator (A7/A11/J9 — the BASELINE gate's own
+    // metric function, reference evaluation_util.py:7-15): keyed alignment
+    // join of predictions onto gold pairs (missing prediction = negative),
+    // confusion sums, P/R/F1 per split. Same deterministic events-derived
+    // pred/gold construction as q31. ----
+    "q32_pairwise_f1" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val k = from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k")
+      val gold = ev.filter(col("event_id") % 7 === 0)
+        .select(col("user_id").as("url_a"), col("event_id").as("url_b"),
+          (col("value") > 50).cast("int").as("gold"),
+          when(col("event_id") % 2 === 0, "valid").otherwise("test").as("split"))
+      val preds = ev.filter(col("event_id") % 3 === 0)
+        .select(col("user_id").as("url_a"), col("event_id").as("url_b"),
+          coalesce(k > 50, lit(false)).as("is_match"))
+      graft.ops.Metrics.pairwiseF1(preds, gold)
+        .select(col("split"), col("tp"), col("fp"), col("fn"), col("tn"),
+          round(col("precision"), 6).as("precision"),
+          round(col("recall"), 6).as("recall"),
+          round(col("f1"), 6).as("f1"))
+    }),
+
     // embedding-cosine near-dup: the query runs the portable axis-sign-bucket
     // twin over the embeddings table (threshold 0.4 — isotropic noise, so
     // near-dup means "unusually close", ~7 pairs at sf0.01), hash-checked
@@ -622,6 +645,32 @@ object SparkEntry {
            UNION SELECT r.u, d.v FROM reach r JOIN und d ON r.v = d.u WHERE d.v <> r.u),
          cc AS (SELECT u, min(v) AS cluster_id FROM reach GROUP BY u HAVING min(v) < u)
          SELECT cluster_id, count(*) + 1 AS cluster_size FROM cc GROUP BY cluster_id""",
+    "q32_pairwise_f1" ->
+      """WITH ev AS (SELECT user_id, event_id, value,
+           cast(json_extract_string(props, '$.k') as int) AS k FROM events),
+         gold AS (SELECT user_id AS url_a, event_id AS url_b,
+             CASE WHEN value > 50 THEN 1 ELSE 0 END AS gold,
+             CASE WHEN event_id % 2 = 0 THEN 'valid' ELSE 'test' END AS split
+           FROM ev WHERE event_id % 7 = 0),
+         preds AS (SELECT user_id AS url_a, event_id AS url_b,
+             CASE WHEN k > 50 THEN 1 ELSE 0 END AS pred
+           FROM ev WHERE event_id % 3 = 0),
+         j AS (SELECT g.split, g.gold, coalesce(p.pred, 0) AS pred
+           FROM gold g LEFT JOIN preds p USING (url_a, url_b)),
+         c AS (SELECT split,
+             cast(sum(CASE WHEN pred=1 AND gold=1 THEN 1 ELSE 0 END) as bigint) AS tp,
+             cast(sum(CASE WHEN pred=1 AND gold=0 THEN 1 ELSE 0 END) as bigint) AS fp,
+             cast(sum(CASE WHEN pred=0 AND gold=1 THEN 1 ELSE 0 END) as bigint) AS fn,
+             cast(sum(CASE WHEN pred=0 AND gold=0 THEN 1 ELSE 0 END) as bigint) AS tn
+           FROM j GROUP BY split),
+         pr AS (SELECT split, tp, fp, fn, tn,
+             CASE WHEN tp+fp = 0 THEN 0.0 ELSE cast(tp as double)/(tp+fp) END AS p,
+             CASE WHEN tp+fn = 0 THEN 0.0 ELSE cast(tp as double)/(tp+fn) END AS r
+           FROM c)
+         SELECT split, tp, fp, fn, tn,
+           round(p, 6) AS precision, round(r, 6) AS recall,
+           round(CASE WHEN p + r = 0.0 THEN 0.0 ELSE 2.0*p*r/(p+r) END, 6) AS f1
+         FROM pr""",
     "q31_error_analysis" ->
       """WITH ev AS (SELECT user_id, event_id, value, event_type,
            cast(json_extract_string(props, '$.k') as int) AS k FROM events),

@@ -111,6 +111,7 @@ object Clustering {
     var last: (Long, BigDecimal) = (-1L, BigDecimal(-1))
     var round = 0
     var converged = false
+    var prevCutPath: Option[String] = None
     while (!converged && round < maxIter) {
       val roundsThisCut = math.min(roundsPerCut, maxIter - round)
       var next = edges
@@ -125,13 +126,16 @@ object Clustering {
           val ri = round + roundsThisCut - 1
           val path = s"$dir/cc_round_$ri"
           next.write.mode("overwrite").parquet(path)
-          // round ri-1 fed this write and is never read again (no mid-loop
-          // resume is implemented; the caller reads only the FINAL cut) —
-          // keep it one extra round as a safety margin and drop ri-2: at
-          // 9.6M pages each cut is GBs and a dozen accumulate otherwise.
-          val stale = new java.io.File(s"$dir/cc_round_${ri - 2}")
-          if (ri >= 2 && stale.exists())
-            scala.reflect.io.Directory(stale).deleteRecursively()
+          // the PREVIOUS cut fed this write and is never read again (no
+          // mid-loop resume is implemented; the caller reads only the FINAL
+          // cut) — delete it once the new cut's write has committed. Tracked
+          // by actual path, not index arithmetic: with roundsPerCut >= 2 the
+          // cut indices are spaced roundsThisCut apart, so a hardcoded ri-2
+          // never names a cut and GB-scale cuts would accumulate
+          // (round-4 advice). At 9.6M pages each cut is GBs.
+          prevCutPath.map(new java.io.File(_)).filter(_.exists()).foreach(f =>
+            scala.reflect.io.Directory(f).deleteRecursively())
+          prevCutPath = Some(path)
           spark.read.parquet(path)
         case None =>
           next.localCheckpoint(eager = true)

@@ -144,36 +144,72 @@ object Training {
     x
   }
 
-  /** F1-optimal decision threshold over `(score, gold)` rows in ONE window
-    * pass: group by score, cumulative tp/fp down the score-descending order,
-    * F1 at every cut, argmax (deterministic tiebreak: higher threshold).
-    * Returns the midpoint between the last included and first excluded
-    * score, so `score > threshold` reproduces the best cut exactly. The
-    * driver receives ONE row. */
+  /** F1-optimal decision threshold over `(score, gold)` rows: exact F1 at
+    * EVERY distinct-score cut, argmax (deterministic tiebreak: higher
+    * threshold). Returns the midpoint between the last included and first
+    * excluded score, so `score > threshold` reproduces the best cut exactly.
+    *
+    * Scale-safe two-pass sweep (round-4 advice — the old single
+    * `Window.orderBy(s.desc)` pass moved EVERY distinct score to one
+    * partition, which is the pair count when scores are doubles):
+    *  1. per-score counts are range-bucketed into `nBuckets` buckets; the
+    *     bucket totals (≤ nBuckets rows — a bounded, driver-safe table like
+    *     the other scalar lineage reads) are prefix-summed on the driver
+    *     into per-bucket cumulative offsets;
+    *  2. the cumulative tp/predPos window then runs PARTITIONED BY bucket
+    *     (offsets joined back by broadcast), so no partition ever holds more
+    *     than one bucket's distinct scores and the plan has no global
+    *     un-partitioned window.
+    * The result is bit-identical to the single-window sweep: offsets make
+    * each within-bucket cumsum globally exact. The driver receives the
+    * bucket table (≤ nBuckets rows) and ONE result row. */
   def selectThreshold(scored: DataFrame, scoreCol: String = "score",
-      goldCol: String = "gold"): Double = {
+      goldCol: String = "gold", nBuckets: Int = 1024): Double = {
     val byScore = scored.groupBy(col(scoreCol).as("s"))
       .agg(sum(col(goldCol).cast("long")).as("pos"), count(lit(1)).as("n"))
-    val wDesc = Window.orderBy(col("s").desc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val totalPos = sum(col("pos")).over(
-      Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-    val best = byScore
-      .withColumn("tp", sum(col("pos")).over(wDesc))
-      .withColumn("predPos", sum(col("n")).over(wDesc))
-      .withColumn("fp", col("predPos") - col("tp"))
-      .withColumn("fn", totalPos - col("tp"))
-      .withColumn("f1",
-        when(lit(2) * col("tp") + col("fp") + col("fn") === 0, lit(0.0))
-          .otherwise(lit(2.0) * col("tp") / (lit(2) * col("tp") + col("fp") + col("fn"))))
-      .withColumn("nextS", lead(col("s"), 1).over(Window.orderBy(col("s").desc)))
-      .orderBy(col("f1").desc, col("s").desc)
-      .select(col("s"), col("nextS"))
-      .head()
-    val sIncl = best.getDouble(0)
-    // threshold strictly below the worst included score: midpoint to the
-    // next score down, or just below when this cut includes everything
-    if (best.isNullAt(1)) sIncl - 1e-9 else (sIncl + best.getDouble(1)) / 2.0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ext = byScore.agg(min(col("s")).as("lo"), max(col("s")).as("hi"),
+        sum(col("pos")).as("tot")).head()
+      require(!ext.isNullAt(0), "selectThreshold: empty validation split")
+      val (lo, hi, totalPos) =
+        (ext.getDouble(0), ext.getDouble(1), ext.getLong(2))
+      // bucket by score range, descending ids so prefix order = score order
+      val width = if (hi > lo) (hi - lo) / nBuckets else 1.0
+      val bucket = least(floor((col("s") - lit(lo)) / lit(width)),
+        lit(nBuckets - 1)).cast("int")
+      val bucketed = byScore.withColumn("b", bucket)
+      val btab = bucketed.groupBy("b")
+        .agg(sum(col("pos")).as("bpos"), sum(col("n")).as("bn"))
+        .collect() // bounded: ≤ nBuckets rows
+      var cpos = 0L; var cn = 0L
+      val offsets = btab.sortBy(-_.getInt(0)).map { r =>
+        val o = (r.getInt(0), cpos, cn)
+        cpos += r.getLong(1); cn += r.getLong(2)
+        o
+      }.toSeq
+      val spark = scored.sparkSession
+      import spark.implicits._
+      val offDf = offsets.toDF("b", "opos", "on")
+      val wDesc = Window.partitionBy(col("b")).orderBy(col("s").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val best = bucketed.join(broadcast(offDf), "b")
+        .withColumn("tp", col("opos") + sum(col("pos")).over(wDesc))
+        .withColumn("predPos", col("on") + sum(col("n")).over(wDesc))
+        .withColumn("fp", col("predPos") - col("tp"))
+        .withColumn("fn", lit(totalPos) - col("tp"))
+        .withColumn("f1",
+          when(lit(2) * col("tp") + col("fp") + col("fn") === 0, lit(0.0))
+            .otherwise(lit(2.0) * col("tp") / (lit(2) * col("tp") + col("fp") + col("fn"))))
+        .orderBy(col("f1").desc, col("s").desc)
+        .select(col("s"))
+        .head()
+      val sIncl = best.getDouble(0)
+      // threshold strictly below the worst included score: midpoint to the
+      // next score down, or just below when this cut includes everything
+      val nxt = byScore.filter(col("s") < sIncl).agg(max(col("s"))).head()
+      if (nxt.isNullAt(0)) sIncl - 1e-9 else (sIncl + nxt.getDouble(0)) / 2.0
+    } finally byScore.unpersist()
   }
 
   /** End-to-end in-engine fit: weak labels -> IRLS weights -> threshold

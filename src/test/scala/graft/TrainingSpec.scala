@@ -45,6 +45,43 @@ class TrainingSpec extends SparkSpec {
     t should be < 0.6
   }
 
+  test("selectThreshold bucketed sweep == brute force when distinct scores >> buckets") {
+    // 20k distinct scores across many buckets (nBuckets=64 forces real
+    // cross-bucket offsets), gold correlated with score + noise so the
+    // optimal cut is interior and non-obvious
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 20000).map { i =>
+      val s = i / 20000.0 + rnd.nextDouble() * 1e-9 // all distinct
+      val y = if (s + 0.3 * rnd.nextGaussian() > 0.55) 1 else 0
+      (s, y)
+    }
+    val df = rows.toDF("score", "gold")
+    val t = Training.selectThreshold(df, nBuckets = 64)
+    // brute-force oracle on the driver: F1 at every distinct cut
+    val sorted = rows.sortBy(-_._1)
+    val totalPos = rows.count(_._2 == 1).toLong
+    var tp = 0L; var pred = 0L
+    var bestF1 = -1.0; var bestS = Double.NaN; var bestIdx = -1
+    sorted.zipWithIndex.foreach { case ((s, y), i) =>
+      tp += y; pred += 1
+      val fp = pred - tp; val fn = totalPos - tp
+      val f1 = if (2 * tp + fp + fn == 0) 0.0
+        else 2.0 * tp / (2 * tp + fp + fn)
+      if (f1 > bestF1 || (f1 == bestF1 && s > bestS)) {
+        bestF1 = f1; bestS = s; bestIdx = i
+      }
+    }
+    val expected =
+      if (bestIdx == sorted.length - 1) bestS - 1e-9
+      else (bestS + sorted(bestIdx + 1)._1) / 2.0
+    t shouldBe expected
+    // and the returned cut reproduces the oracle's best F1 exactly
+    val cutTp = rows.count { case (s, y) => s > t && y == 1 }.toLong
+    val cutPred = rows.count { case (s, _) => s > t }.toLong
+    val f1AtT = 2.0 * cutTp / (2 * cutTp + (cutPred - cutTp) + (totalPos - cutTp))
+    f1AtT shouldBe bestF1
+  }
+
   test("weak rules produce high-purity labels on the fixture") {
     val p = SynthParams(nPages = 1500, nEntities = 250)
     val pages = Extract.withInvariant(

@@ -60,8 +60,20 @@ case class PipelineConfig(
       * checkpoint — is at most this. Sized by BYTES, not rows: the projection
       * carries ctx strings whose width varies 100x with ctxWindow, and a
       * row-count gate could sail past Spark's 8 GiB broadcast-table hard
-      * limit (and driver memory) on wide contexts. Default 2 GiB. */
-    broadcastMentionsMaxBytes: Long = 2L * 1024 * 1024 * 1024)
+      * limit (and driver memory) on wide contexts. Default -1 = derive from
+      * the compute topology: min(2 GiB, driver max heap / 10) — the driver
+      * must also hold the CC loop's bookkeeping, and the broadcast build is
+      * the pipeline's one driver-serial term (measured ~506s at 9.6M pages
+      * on a 7.75M-row projection), so a fixed 2 GiB cap was generous for
+      * small drivers (round-4 advice). */
+    broadcastMentionsMaxBytes: Long = -1L) {
+
+  /** Resolved broadcast cap: explicit positive value, or the heap-derived
+    * default. */
+  def resolvedBroadcastMentionsMaxBytes: Long =
+    if (broadcastMentionsMaxBytes >= 0) broadcastMentionsMaxBytes
+    else math.min(2L * 1024 * 1024 * 1024, Runtime.getRuntime.maxMemory / 10)
+}
 
 case class PipelineResult(
     pages: DataFrame,
@@ -170,12 +182,31 @@ object Pipeline {
     // octet_length (UTF-8 BYTES, not chars — multi-byte text undercounted
     // otherwise), each column coalesced to 0 so a null never erases the
     // row's other columns or its fixed overhead (round-3 advice).
-    lazy val bcast = cfg.broadcastMentions.getOrElse {
+    lazy val bcast = {
+      val t0 = System.nanoTime()
       def oct(c: String) = coalesce(octet_length(col(c)).cast("long"), lit(0L))
-      val bytes = mentions.agg(coalesce(sum(
+      lazy val bytes = mentions.agg(coalesce(sum(
         oct("surface") + oct("ctx") + oct("url") + lit(24L)),
         lit(0L))).head().getLong(0)
-      bytes <= cfg.broadcastMentionsMaxBytes
+      val choice = cfg.broadcastMentions.getOrElse(
+        bytes <= cfg.resolvedBroadcastMentionsMaxBytes)
+      // the hydration strategy + its estimated payload is lineage: the
+      // broadcast build is the pipeline's one driver-serial term, so every
+      // run records which path it took and how big the projection was
+      // (counter rows: hydrate_broadcast=1/0 and hydrate_est_bytes)
+      if (cfg.broadcastMentions.isEmpty) {
+        val wallMs = (System.nanoTime() - t0) / 1000000L
+        val write = Future {
+          Metrics.countMetric(spark, cfg.runId, "s4_scored",
+              "hydrate_broadcast", if (choice) 1L else 0L)
+            .unionByName(Metrics.countMetric(spark, cfg.runId, "s4_scored",
+              "hydrate_est_bytes", bytes))
+            .withColumn("wall_ms", lit(wallMs))
+            .write.mode("append").parquet(s"${cfg.checkpointDir}/metrics")
+        }(metricsEc)
+        pending += write
+      }
+      choice
     }
 
     // optional fit stage (SURVEY.md S8): train in-engine, commit the model as

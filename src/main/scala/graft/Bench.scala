@@ -87,7 +87,10 @@ object Bench {
             }
             System.err.println(s"[bench] query $name FAILED (rep $rep): " +
               e.getMessage)
-          }
+          } finally
+            // post-timing resource release (shared corpus handles): outside
+            // the measured window, so the timed body is exactly one execution
+            SparkEntry.benchQueryDone(name, sfDir)
         }
       }
       // ER pipeline end-to-end (the BASELINE throughput metric) — the REAL
@@ -119,7 +122,10 @@ object Bench {
       s""""failed":$failedJson,"sf":"$sfDir","bench_pages":$benchPages,""" +
       s""""pages_per_sec":$pagesPerSec,"cpus":$cpus,"reps":$reps,""" +
       s""""warmup":${if (warmup) 1 else 0},"loadavg_start":$loadStart,""" +
-      s""""loadavg_end":$loadavg}""")
+      // self-certifying host-load tag (round-4 advice): the official round
+      // number must be a quiet-host run; a JSON with quiet:0 is tainted by
+      // external load and not comparable across rounds.
+      s""""loadavg_end":$loadavg,"quiet":${if (loadStart >= 0 && loadStart < 2.0) 1 else 0}}""")
     spark.stop()
   }
 }

@@ -43,7 +43,16 @@ object SparkEntry {
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full ER
     * pipeline (extract -> block -> score) on the deterministic fixture,
     * returning per-cluster sizes. */
-  def entry(spark: SparkSession): DataFrame = {
+  def entry(spark: SparkSession): DataFrame =
+    entryClusters(spark).groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+      .filter(col("cluster_size") > 1)
+
+  /** The production flagship pipeline's full cluster MEMBERSHIP
+    * (url, cluster_id) on the flagship fixture — entry() aggregates this to
+    * per-cluster sizes; ProdFlagshipSpec pins it member-for-member to the
+    * planted gold entities and to the oracle-checked portable twin. */
+  def entryClusters(spark: SparkSession): DataFrame = {
     val p = FlagshipParams
     val pages = Extract.withInvariant(
       Extract.latestSnapshot(Synth.pages(spark, p).toDF()))
@@ -56,8 +65,7 @@ object SparkEntry {
     // CC materializes its input eagerly inside clusters(), so the block
     // caches are fully consumed here — release them (no session-lifetime leak)
     releaseBlocks()
-    clusters.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-      .filter(col("cluster_size") > 1)
+    clusters
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -475,7 +483,17 @@ object SparkEntry {
     // end-to-end incl. CC. Bench overrides to the production hash_embed +
     // xxhash-sign-plane variant over planted document near-dups.
     "g11_emb_neardup" -> ((s, d) =>
-      graft.ops.Portable.embeddingNearDupPortable(s, t(s, d, "embeddings"))))
+      graft.ops.Portable.embeddingNearDupPortable(s, t(s, d, "embeddings"))),
+    // the bucketed-ANN scale path with its own oracle row (round-4 advice):
+    // write the embeddings table partitionBy(axis-sign bucket), then serve
+    // the top-k probe from ONLY the query's bucket + hamming-1 neighbors via
+    // a partition filter. DuckDB replays the identical probe as a
+    // hamming<=1 bucket predicate over a full scan, so the pruned-partition
+    // read path a 100-TB deployment queries is hash-checked, not just
+    // pruning-asserted. (g12/g13 stay the production xxhash bench pair.)
+    "g14_ann_bucketed_probe" -> ((s, d) =>
+      graft.ops.Portable.axisBucketedTopK(
+        s, portableBucketDir(s, d), queryVec(s, d), 10)))
 
   /** Shared state for bench-only cross-query reuse. g02 and g04 run the
     * identical minhash LSH candidate generation (same docs/id/text/seed) —
@@ -500,7 +518,28 @@ object SparkEntry {
     corpusCache.keySet().asScala.toList.foreach { d =>
       val e = corpusCache.remove(d); if (e != null) e._1.close()
     }
+    annBucketDirs.keySet().asScala.toList.foreach { d =>
+      val p = annBucketDirs.remove(d); if (p != null) deleteDir(p)
+    }
+    portableBucketDirs.keySet().asScala.toList.foreach { d =>
+      val p = portableBucketDirs.remove(d); if (p != null) deleteDir(p)
+    }
   }
+
+  /** Post-timing hook: Bench calls this AFTER the timed action on each
+    * override completes, so resource release (the shared near-dup corpus
+    * handle) happens outside the measured window and the timed body performs
+    * exactly one execution of the query (round-4 advice: the g02/g04
+    * overrides used to count internally AND be counted again by Bench —
+    * g04's second execution re-ran the whole band self-join uncached). */
+  def benchQueryDone(name: String, sfDir: String): Unit = name match {
+    case "g02_docs_minhash_neardup" | "g04_docs_ngram_neardup" =>
+      corpusConsumed(sfDir)
+    case _ => ()
+  }
+
+  private def deleteDir(p: String): Unit =
+    scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
 
   /** Bucket-partitioned ANN table paths (written once per sfDir by the g12
     * bench entry; probed by g13). */
@@ -510,6 +549,17 @@ object SparkEntry {
     annBucketDirs.computeIfAbsent(d, _ => {
       val path = java.nio.file.Files.createTempDirectory("graft-annbucket").toString
       Ann.writeBucketed(t(s, d, "embeddings"), path)
+      path
+    })
+
+  /** Axis-sign bucket-partitioned table paths for the g14 portable probe
+    * (written once per sfDir; deleted by releaseBenchCaches). */
+  private val portableBucketDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def portableBucketDir(s: SparkSession, d: String): String =
+    portableBucketDirs.computeIfAbsent(d, _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft-axisbucket").toString
+      graft.ops.Portable.writeAxisBucketed(t(s, d, "embeddings"), path)
       path
     })
 
@@ -525,20 +575,13 @@ object SparkEntry {
     * no `queries` twin (see their comment). */
   def benchOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_er_clusters" -> ((s, _) => entry(s)),
-    "g02_docs_minhash_neardup" -> ((s, d) => {
-      val out = sharedCorpus(s, d).minhash()
-      out.count() // materialize before the shared handle can be closed
-      corpusConsumed(d)
-      out
-    }),
+    // g02/g04 release the shared corpus handle via benchQueryDone (Bench's
+    // post-timing hook), NOT inside the timed body: exactly one execution
+    // per timed rep, with the candidate cache still open when Bench counts.
+    "g02_docs_minhash_neardup" -> ((s, d) => sharedCorpus(s, d).minhash()),
     "g03_docs_simhash_neardup" -> ((s, d) =>
       Dedup.simhashNearDup(s, t(s, d, "documents"))),
-    "g04_docs_ngram_neardup" -> ((s, d) => {
-      val out = sharedCorpus(s, d).ngram()
-      out.count()
-      corpusConsumed(d)
-      out
-    }),
+    "g04_docs_ngram_neardup" -> ((s, d) => sharedCorpus(s, d).ngram()),
     "g05_emb_lsh_topk" -> ((s, d) =>
       Ann.lshTopK(t(s, d, "embeddings"), queryVec(s, d), 10)),
     "g11_emb_neardup" -> ((s, d) =>
@@ -552,7 +595,10 @@ object SparkEntry {
     // embeddings table, g13 the partition-pruned multi-probe top-k read —
     // the pair that replaces a full O(n) scan per query at 100 TB.
     "g12_ann_bucketed_write" -> ((s, d) => {
-      annBucketDirs.remove(d) // re-write every invocation: this IS the timed op
+      // re-write every invocation: this IS the timed op (drop + delete the
+      // previous rep's directory so reps don't accumulate bucketed copies)
+      val prev = annBucketDirs.remove(d)
+      if (prev != null) deleteDir(prev)
       s.read.parquet(annBucketDir(s, d)).groupBy("bucket")
         .agg(count(lit(1)).as("n_vecs"))
     }),
@@ -647,7 +693,7 @@ object SparkEntry {
          SELECT cluster_id, count(*) + 1 AS cluster_size FROM cc GROUP BY cluster_id""",
     "q32_pairwise_f1" ->
       """WITH ev AS (SELECT user_id, event_id, value,
-           cast(json_extract_string(props, '$.k') as int) AS k FROM events),
+           try_cast(json_extract_string(props, '$.k') as int) AS k FROM events),
          gold AS (SELECT user_id AS url_a, event_id AS url_b,
              CASE WHEN value > 50 THEN 1 ELSE 0 END AS gold,
              CASE WHEN event_id % 2 = 0 THEN 'valid' ELSE 'test' END AS split
@@ -673,7 +719,7 @@ object SparkEntry {
          FROM pr""",
     "q31_error_analysis" ->
       """WITH ev AS (SELECT user_id, event_id, value, event_type,
-           cast(json_extract_string(props, '$.k') as int) AS k FROM events),
+           try_cast(json_extract_string(props, '$.k') as int) AS k FROM events),
          gold AS (SELECT user_id AS url_a, event_id AS url_b,
              CASE WHEN value > 50 THEN 1 ELSE 0 END AS gold
            FROM ev WHERE event_id % 7 = 0),
@@ -748,6 +794,25 @@ object SparkEntry {
            round(list_cosine_similarity(cast(embedding as double[]), (SELECT qv FROM q)), 6) AS cos
          FROM embeddings
          WHERE list_position(embedding[1:8], list_aggregate(embedding[1:8], 'max')) = (SELECT qb FROM q)
+         ORDER BY cos DESC, vec_id ASC LIMIT 10""",
+    // independent replay of the partition-pruned probe: the same axis-sign
+    // bucket and the same (query-bucket + hamming-1) probe set, expressed as
+    // a bucket predicate over a full scan — semantically identical to the
+    // Spark side's isin partition filter over the bucketed table
+    "g14_ann_bucketed_probe" ->
+      """WITH q AS (SELECT cast(embedding as double[]) AS qv,
+           'b' || array_to_string(list_transform(embedding[1:6],
+             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS qb
+         FROM embeddings ORDER BY vec_id LIMIT 1),
+         b AS (SELECT vec_id, cast(embedding as double[]) AS e,
+           'b' || array_to_string(list_transform(embedding[1:6],
+             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+         FROM embeddings)
+         SELECT vec_id,
+           round(list_cosine_similarity(e, qv), 6) AS cos
+         FROM b CROSS JOIN q
+         WHERE len(list_filter(range(2, 8), i ->
+           substring(bucket, i, 1) <> substring(qb, i, 1))) <= 1
          ORDER BY cos DESC, vec_id ASC LIMIT 10""",
     "g08_multimodal_features" ->
       """SELECT doc_id,
@@ -900,13 +965,13 @@ object SparkEntry {
          min(length(embedding)) AS min_dim, max(length(embedding)) AS max_dim
          FROM embeddings GROUP BY label""",
     "q25_json_extract" ->
-      """SELECT event_id, cast(json_extract_string(props, '$.k') as int) AS k
-         FROM events WHERE cast(json_extract_string(props, '$.k') as int) > 50""",
+      """SELECT event_id, try_cast(json_extract_string(props, '$.k') as int) AS k
+         FROM events WHERE try_cast(json_extract_string(props, '$.k') as int) > 50""",
     "q26_multilabel" ->
       """WITH base AS (
            SELECT user_id AS doc, event_type AS label,
              CASE WHEN max(value) > 75 THEN 1 ELSE 0 END AS pred,
-             CASE WHEN max(cast(json_extract_string(props,'$.k') as int)) > 75 THEN 1 ELSE 0 END AS gold
+             CASE WHEN max(try_cast(json_extract_string(props,'$.k') as int)) > 75 THEN 1 ELSE 0 END AS gold
            FROM events GROUP BY user_id, event_type),
          conf AS (
            SELECT

@@ -225,6 +225,40 @@ object Portable {
     array_join(transform(slice(vec, 1, nPlanes), x =>
       when(x >= 0, lit("1")).otherwise(lit("0"))), "")
 
+  /** Bucket-partitioned write of an embeddings table keyed by the
+    * engine-portable axis-sign bucket — the oracle-checkable twin of
+    * Ann.writeBucketed (same partitionBy-the-bucket scale path, portable
+    * hash). The partition value is 'b'-prefixed so the bit string
+    * round-trips as a STRING through Spark's partition-column type
+    * inference (a bare "001011" would be read back as the integer 1011). */
+  def writeAxisBucketed(embs: DataFrame, path: String, nPlanes: Int = 6,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    embs.select(col(idCol), col(vecCol),
+        concat(lit("b"), axisSignBucket(col(vecCol), nPlanes)).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Partition-pruned multi-probe cosine top-k over a writeAxisBucketed
+    * table: scans ONLY the query's bucket plus its nPlanes hamming-1
+    * neighbors — (1+nPlanes)/2^nPlanes of the data — via a partition
+    * filter (isin over literal bucket strings). The oracle replays the
+    * same probe as a bucket-predicate filter (hamming(bucket, qb) <= 1)
+    * over a full scan: identical semantics, so the pruned read path itself
+    * is hash-checked end-to-end (CORRECTNESS g14). */
+  def axisBucketedTopK(spark: SparkSession, path: String,
+      query: Array[Float], k: Int, nPlanes: Int = 6,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qb = query.take(nPlanes).map(x => if (x >= 0) '1' else '0').mkString
+    val probes = ("b" + qb) +: (0 until nPlanes).map(i =>
+      "b" + qb.updated(i, if (qb(i) == '1') '0' else '1'))
+    val q = array(query.map(lit): _*)
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(probes: _*))
+      .select(col(idCol),
+        round(graft.functions.cosine_sim(col(vecCol), q), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Portable embedding near-dup: axis-sign buckets (capped), cosine-verified
     * (≥ threshold), CC-clustered — the capped/late-materialized pattern of
     * Dedup.embeddingNearDup with an engine-portable bucket function. */

@@ -77,12 +77,34 @@ object Scoring {
       .withColumn("cos", context_cosine(col("ctx_a"), col("ctx_b"),
         embedDim, seed))
 
+  /** Affirmative-signal floors for the match decision (the rule-gate half of
+    * the reference's ensemble, `main_scripts/evaluation_util.py:17-38`: rule
+    * gates AND the model, so the model alone can never assert a match the
+    * rules see no evidence for). A pair whose every feature sits at its
+    * noise level — token Jaccard 0, Jaro-Winkler at the ~0.45 random-string
+    * baseline, context cosine inside the ±0.25 hash-embedding noise band —
+    * can still sum past the linear threshold when the noise terms align
+    * (measured on the flagship fixture: ONE such pair, jw .427/jac 0/cos
+    * .191, merged the two shared-abbreviation trap entities). The gate
+    * requires at least one feature to show genuine signal: surface token
+    * overlap (jac), acronym/edit agreement (jw above the random baseline —
+    * an abbreviation matching its long form's initials scores ≥ .56), or
+    * context agreement (cos above the noise band). True pairs always carry
+    * one of the three by construction of the ensemble; ProdFlagshipSpec pins
+    * the resulting clusters to the planted truth. */
+  val MinSurfaceJaccard = 0.3
+  val MinAcronymJw = 0.5
+  val MinContextCos = 0.25
+
   def withScore(featured: DataFrame, w: Weights = Weights()): DataFrame =
     featured
       .withColumn("score",
         lit(w.wJw) * col("jw") + lit(w.wLev) * col("lev") +
           lit(w.wJac) * col("jac") + lit(w.wCos) * col("cos") + lit(w.bias))
-      .withColumn("is_match", col("score") > lit(w.threshold))
+      .withColumn("is_match", col("score") > lit(w.threshold) &&
+        (col("jac") >= lit(MinSurfaceJaccard) ||
+          col("jw") >= lit(MinAcronymJw) ||
+          col("cos") >= lit(MinContextCos)))
 
   /** One row per (url_a, url_b): keep the best-scoring mention pair across
     * shared blocks. row_number window, NOT max_by: max_by's struct buffer

@@ -100,6 +100,49 @@ class AnnTextOpsSpec extends SparkSpec {
     }
   }
 
+  test("portable axis-bucketed probe (g14): prunes partitions, equals the full-scan hamming<=1 replay") {
+    val df = embs()
+    val q = df.orderBy("vec_id").select("embedding").head().getSeq[Float](0).toArray
+    val dir = java.nio.file.Files.createTempDirectory("graft-axis").toString
+    try {
+      graft.ops.Portable.writeAxisBucketed(df, dir, nPlanes = 6)
+      val totalParts = new java.io.File(dir).listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("bucket="))
+      totalParts should be > 7 // 200 random vecs over 64 axis buckets
+
+      val probed = graft.ops.Portable.axisBucketedTopK(spark, dir, q, 10, nPlanes = 6)
+      val scan = probed.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+      // partition pruning is real: at most the 7 probe buckets are read
+      scan.selectedPartitions.partitionCount should be <= 7
+      scan.selectedPartitions.partitionCount should be < totalParts
+      // the partition value round-trips as a STRING (the 'b' prefix guard):
+      // a leading-zero bucket must not collapse into an integer
+      spark.read.parquet(dir).schema("bucket").dataType.typeName shouldBe "string"
+
+      // the pruned read equals the oracle's semantics: full scan filtered to
+      // hamming(bucket, query bucket) <= 1, cosine top-k (what the DuckDB
+      // g14 row replays)
+      val qb = q.take(6).map(x => if (x >= 0) '1' else '0').mkString
+      val withB = df.withColumn("b",
+        graft.ops.Portable.axisSignBucket(col("embedding"), 6))
+      val hamming = (0 until 6).map(i =>
+        when(substring(col("b"), i + 1, 1) =!= lit(qb(i).toString), 1).otherwise(0))
+        .reduce(_ + _)
+      val expected = withB.filter(hamming <= 1)
+        .select(col("vec_id"),
+          round(graft.functions.cosine_sim(col("embedding"),
+            array(q.map(lit): _*)), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc).limit(10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = probed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      got shouldBe expected
+    } finally {
+      scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("token counts") {
     val df = Seq(("a bb  ccc", 3), ("  x ", 1)).toDF("text", "expected")
     df.select(TextOps.wsTokenCount(col("text")).as("n"), col("expected"))

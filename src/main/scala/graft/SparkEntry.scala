@@ -477,6 +477,75 @@ object SparkEntry {
           round(col("f1"), 6).as("f1"))
     }),
 
+    // ---- string-similarity ensemble (§2.8 jaro_winkler + lev_ratio +
+    // token_jaccard + the linear scorer's functional form) under a real
+    // second engine: consecutive-doc pairs over ASCII-normalized text,
+    // each kernel rounded then linearly combined — DuckDB replays lev/jac
+    // with its own levenshtein / list-intersect Jaccard, and jw with a
+    // recursive-CTE twin of the CLASSIC Jaro-Winkler (greedy in-window
+    // matching, Winkler 0.7 boost threshold): DuckDB's native
+    // jaro_winkler_similarity is rapidfuzz's bit-parallel variant whose
+    // greedy matching (and so transposition count) diverges from the
+    // published algorithm on repeated-character strings. ----
+    "q33_string_sims" -> ((s, d) => {
+      val n = t(s, d, "documents").select(col("doc_id"),
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " ").as("nt"))
+      val a = n.select(col("doc_id").as("doc_a"),
+        substring(col("nt"), 1, 48).as("sa"),
+        substring(col("nt"), 1, 160).as("ta"))
+      val b = n.select((col("doc_id") - 1).as("doc_a"),
+        col("doc_id").as("doc_b"),
+        substring(col("nt"), 1, 48).as("sb"),
+        substring(col("nt"), 1, 160).as("tb"))
+      a.join(b, "doc_a")
+        .filter(length(col("sa")) > 0 && length(col("sb")) > 0)
+        .select(col("doc_a"), col("doc_b"),
+          round(graft.functions.jaro_winkler(col("sa"), col("sb")), 6).as("jw"),
+          round(graft.functions.lev_ratio(col("sa"), col("sb")), 6).as("lev_r"),
+          round(graft.functions.token_jaccard(col("ta"), col("tb")), 6).as("jac"))
+        // floor-quantize, not round: the linear combination of three
+        // already-rounded doubles can land exactly on a .5e-6 boundary,
+        // where the two engines' round() implementations disagree in the
+        // last digit; floor of the identical IEEE double is deterministic
+        .withColumn("score", floor(
+          (lit(0.4) * col("jw") + lit(0.3) * col("lev_r") + lit(0.3) * col("jac"))
+            * lit(1e6)) / lit(1e6))
+    }),
+
+    // ---- stable keyed split (O2) portable twin: deterministic
+    // train/valid assignment from the last hex digit of md5(key) — the
+    // md5-portable analogue of GoldGen's xxhash64 split, hash-checked
+    // against DuckDB's md5. ----
+    "q34_stable_split" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        when(substring(md5(col("doc_id").cast("string")), 32, 1)
+            .isin("0", "1", "2", "3", "4", "5"), "valid")
+          .otherwise("test").as("split"))),
+
+    // ---- URL canonicalization (P13) under a second engine: messy url
+    // variants (scheme case, www, utm params, fragments, trailing slash,
+    // relative pass-through) constructed deterministically from doc_id by
+    // IDENTICAL string ops in both engines, then canonicalized by
+    // Extract.canonicalUrl on the Spark side and an independent DuckDB
+    // regexp replay on the oracle side. ----
+    "q35_url_canonical" -> ((s, d) => {
+      val m = pmod(col("doc_id"), lit(6))
+      val h = concat(lit("h"), pmod(col("doc_id"), lit(13)).cast("string"),
+        lit(".example/p/"), col("doc_id").cast("string"))
+      val url = when(m === 0,
+          concat(lit("http://www."), h, lit("/")))
+        .when(m === 1, concat(lit("HTTP://H"),
+          pmod(col("doc_id"), lit(13)).cast("string"),
+          lit(".EXAMPLE/p/"), col("doc_id").cast("string")))
+        .when(m === 2, concat(lit("https://"), h, lit("?q="),
+          col("doc_id").cast("string"), lit("&utm_x=1&r=2#sec")))
+        .when(m === 3, concat(lit("https://"), h, lit("?utm_a=1")))
+        .when(m === 4, concat(lit("https://www."), h, lit("?utm_a=1&b=2")))
+        .otherwise(concat(lit("/relative/p/"), col("doc_id").cast("string")))
+      t(s, d, "documents").select(col("doc_id"), url.as("url"))
+        .withColumn("canon", graft.ops.Extract.canonicalUrl(col("url")))
+    }),
+
     // embedding-cosine near-dup: the query runs the portable axis-sign-bucket
     // twin over the embeddings table (threshold 0.4 — isotropic noise, so
     // near-dup means "unusually close", ~7 pairs at sf0.01), hash-checked
@@ -738,6 +807,122 @@ object SparkEntry {
                        WHEN gold = 0 AND pred = 1 THEN 'fp_other'
                   END AS cause FROM j)
          WHERE cause IS NOT NULL GROUP BY cause ORDER BY cause""",
+    // The jw column is replayed by a RECURSIVE-CTE implementation of the
+    // CLASSIC published Jaro-Winkler (greedy in-window matching + the
+    // Winkler 0.7-threshold prefix boost) — DuckDB's native
+    // jaro_winkler_similarity is rapidfuzz's bit-parallel variant, which
+    // produces different greedy matchings (hence different transposition
+    // counts) on strings with repeated characters, so the portable twin
+    // pins our kernel to the published algorithm instead (same pattern as
+    // the g03 simhash CTE).
+    "q33_string_sims" ->
+      """WITH RECURSIVE n AS (SELECT doc_id,
+           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g') AS nt
+         FROM documents),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             substring(a.nt, 1, 48) AS sa, substring(b.nt, 1, 48) AS sb,
+             substring(a.nt, 1, 160) AS ta, substring(b.nt, 1, 160) AS tb
+           FROM n a JOIN n b ON b.doc_id = a.doc_id + 1
+           WHERE len(substring(a.nt, 1, 48)) > 0
+             AND len(substring(b.nt, 1, 48)) > 0),
+         jm AS (
+           SELECT doc_a, sa, sb,
+             greatest(0, greatest(len(sa), len(sb)) // 2 - 1) AS md,
+             0 AS i, 0::BIGINT AS bm, '' AS am, 0 AS m
+           FROM p
+           UNION ALL
+           SELECT doc_a, sa, sb, md, i + 1 AS i,
+             CASE WHEN j IS NULL THEN bm
+                  ELSE bm | (1::BIGINT << (j - 1)::int) END AS bm,
+             CASE WHEN j IS NULL THEN am
+                  ELSE am || substring(sa, i + 1, 1) END AS am,
+             m + CASE WHEN j IS NULL THEN 0 ELSE 1 END AS m
+           FROM (
+             SELECT doc_a, sa, sb, md, i, bm, am, m,
+               list_min(list_filter(
+                 range(greatest(1, i + 1 - md)::bigint,
+                       least(i + 1 + md + 1, len(sb) + 1)::bigint),
+                 jj -> substring(sb, jj::int, 1) = substring(sa, i + 1, 1)
+                       AND (bm >> (jj - 1)::int) & 1 = 0)) AS j
+             FROM jm WHERE i < len(sa)) s),
+         fin AS (SELECT doc_a, sa, sb, bm, am, m FROM jm WHERE i = len(sa)),
+         tr AS (SELECT doc_a, sa, sb, m, am,
+             array_to_string(list_transform(
+               list_filter(range(1::bigint, (len(sb) + 1)::bigint),
+                 j -> (bm >> (j - 1)::int) & 1 = 1),
+               j -> substring(sb, j::int, 1)), '') AS bs
+           FROM fin),
+         jr AS (SELECT doc_a, m, sa, sb,
+             len(list_filter(range(1::bigint, (m + 1)::bigint),
+               k -> substring(am, k::int, 1) <> substring(bs, k::int, 1))) AS t
+           FROM tr),
+         jjj AS (SELECT doc_a, sa, sb,
+             CASE WHEN sa = sb THEN 1.0
+                  WHEN m = 0 THEN 0.0
+                  ELSE (m::double / len(sa) + m::double / len(sb)
+                        + (m::double - t / 2.0) / m) / 3.0 END AS jaro
+           FROM jr),
+         jwt AS (SELECT doc_a,
+             round(CASE WHEN jaro <= 0.7 THEN jaro
+               ELSE jaro + (coalesce(list_min(list_filter(
+                 range(1::bigint, (least(4, len(sa), len(sb)) + 1)::bigint),
+                 k -> substring(sa, k::int, 1) <> substring(sb, k::int, 1))),
+                 (least(4, len(sa), len(sb)) + 1)::bigint) - 1)
+                 * 0.1 * (1.0 - jaro) END, 6) AS jw
+           FROM jjj),
+         tok AS (SELECT doc_a, doc_b, sa, sb,
+             list_distinct(list_filter(string_split(ta, ' '), x -> x <> '')) AS la,
+             list_distinct(list_filter(string_split(tb, ' '), x -> x <> '')) AS lb
+           FROM p),
+         f AS (SELECT doc_a, doc_b, jw,
+             round(1.0 - levenshtein(sa, sb)::double
+               / greatest(len(sa), len(sb)), 6) AS lev_r,
+             round(CASE WHEN len(la) + len(lb) = 0 THEN 1.0
+               ELSE len(list_intersect(la, lb))::double
+                 / (len(la) + len(lb) - len(list_intersect(la, lb))) END, 6) AS jac
+           FROM tok JOIN jwt USING (doc_a))
+         SELECT doc_a, doc_b, jw, lev_r, jac,
+           floor((0.4*jw + 0.3*lev_r + 0.3*jac) * 1e6) / 1e6 AS score
+         FROM f""",
+    "q34_stable_split" ->
+      """SELECT doc_id,
+           CASE WHEN substring(md5(doc_id::varchar), 32, 1)
+                  IN ('0','1','2','3','4','5') THEN 'valid'
+                ELSE 'test' END AS split
+         FROM documents""",
+    "q35_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+           CASE doc_id % 6
+             WHEN 0 THEN 'http://www.h' || (doc_id % 13)::varchar ||
+               '.example/p/' || doc_id::varchar || '/'
+             WHEN 1 THEN 'HTTP://H' || (doc_id % 13)::varchar ||
+               '.EXAMPLE/p/' || doc_id::varchar
+             WHEN 2 THEN 'https://h' || (doc_id % 13)::varchar ||
+               '.example/p/' || doc_id::varchar || '?q=' ||
+               doc_id::varchar || '&utm_x=1&r=2#sec'
+             WHEN 3 THEN 'https://h' || (doc_id % 13)::varchar ||
+               '.example/p/' || doc_id::varchar || '?utm_a=1'
+             WHEN 4 THEN 'https://www.h' || (doc_id % 13)::varchar ||
+               '.example/p/' || doc_id::varchar || '?utm_a=1&b=2'
+             ELSE '/relative/p/' || doc_id::varchar
+           END AS url
+         FROM documents),
+         s1 AS (SELECT doc_id, url,
+           lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) ||
+           regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1) AS h
+         FROM u),
+         s2 AS (SELECT doc_id, url, regexp_replace(h, '^http://', 'https://') AS h FROM s1),
+         s3 AS (SELECT doc_id, url, regexp_replace(h, '^(https://)www\.', '\1') AS h FROM s2),
+         s4 AS (SELECT doc_id, url, regexp_replace(h, '#.*$', '') AS h FROM s3),
+         s5 AS (SELECT doc_id, url, regexp_replace(h, '([?&])utm_[^&#]*', '\1', 'g') AS h FROM s4),
+         s6 AS (SELECT doc_id, url, regexp_replace(h, '&{2,}', '&', 'g') AS h FROM s5),
+         s7 AS (SELECT doc_id, url,
+           regexp_replace(regexp_replace(h, '\?&', '?'), '[?&]+$', '') AS h FROM s6),
+         s8 AS (SELECT doc_id, url, regexp_replace(h, '(://[^/?#]+.+?)/+$', '\1') AS h FROM s7)
+         SELECT doc_id, url,
+           CASE WHEN regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://') = ''
+                THEN url ELSE h END AS canon
+         FROM s8""",
     "g02_docs_minhash_neardup" -> md5NearDupSql(
       """sets AS (SELECT doc_id,
            CASE WHEN length(lower(text)) < 5 THEN [lower(text)]

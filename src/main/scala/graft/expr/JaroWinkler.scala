@@ -16,8 +16,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * `main_scripts/evaluation_util.py:17-38`).
   *
   * Standard Jaro similarity with the Winkler common-prefix boost
-  * (p=0.1, max prefix 4). Deterministic, null-intolerant, codegen'd via a
-  * static method call so it stays inside whole-stage codegen.
+  * (p=0.1, max prefix 4, applied only when the Jaro base exceeds the 0.7
+  * boost threshold — Winkler's original formulation, and the variant DuckDB
+  * implements, which is what lets the q33 oracle row cross-check this
+  * kernel against an independent engine). Deterministic, null-intolerant,
+  * codegen'd via a static method call so it stays inside whole-stage
+  * codegen.
   */
 object JaroWinkler {
   /** Codegen entry point: called from generated Java. */
@@ -65,7 +69,12 @@ object JaroWinkler {
     }
     val m = matches.toDouble
     val jaro = (m / la + m / lb + (m - transpositions / 2.0) / m) / 3.0
-    // Winkler prefix boost
+    // Winkler prefix boost — only above the 0.7 boost threshold (Winkler's
+    // original rule): below it the pair is already a non-match and boosting
+    // noise-level scores only helps all-noise pairs toward the decision
+    // threshold (exactly the failure class the affirmative-signal gate in
+    // Scoring exists for)
+    if (jaro <= 0.7) return jaro
     var prefix = 0
     val maxPrefix = math.min(4, math.min(la, lb))
     while (prefix < maxPrefix && a.charAt(prefix) == b.charAt(prefix)) prefix += 1

@@ -22,6 +22,18 @@ class ExprSpec extends SparkSpec {
     JaroWinkler.compute("a", "b") shouldBe 0.0
   }
 
+  test("jaro-winkler boost applies only above the 0.7 threshold (Winkler's original rule)") {
+    // jaro("aeae","adbadba") = 0.595...: common prefix 'a' must NOT boost —
+    // below the threshold the result IS the jaro base (the DuckDB-checked
+    // variant; q33's oracle row depends on this agreement)
+    val base = 0.5952380952380952
+    JaroWinkler.compute("aeae", "adbadba") shouldBe base +- 1e-12
+    // just above the threshold the prefix boost applies: crate/trace has
+    // jaro 0.7333 but no common prefix; dwayne/duane (jaro 0.822, prefix 1)
+    // gets 0.822 + 0.1*(1-0.822) = 0.84
+    JaroWinkler.compute("dwayne", "duane") shouldBe 0.84 +- 1e-4
+  }
+
   test("jaro-winkler properties: symmetric, [0,1], identity=1") {
     val rnd = new scala.util.Random(42)
     def randStr() = {

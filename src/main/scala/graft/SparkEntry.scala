@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.gen.{Synth, SynthParams}
-import graft.ops.{Ann, Dedup, Extract, Multimodal, Scoring, TextOps}
+import graft.ops.{Ann, Dedup, Extract, Incremental, Multimodal, Scoring, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,9 +17,10 @@ import graft.ops.{Ann, Dedup, Extract, Multimodal, Scoring, TextOps}
   * results). The near-dup/ANN family achieves this by running oracle-portable
   * md5 twins (ops/Portable.scala) in `queries` while Bench measures the
   * production hash family under the same names (`benchOverrides`). g01 (the
-  * flagship pipeline on the in-memory synthetic fixture) stays rows-only;
-  * its stage semantics are covered by the hash-green g02/g03/g04/g11 CC
-  * oracles and the ScalaTest gates (SURVEY.md §5.2).
+  * flagship pipeline) and g15 (its incremental-attach form) are oracle-
+  * checked end-to-end via the portable twin over a fixture parquet both
+  * engines read; the production paths are pinned by ProdFlagshipSpec /
+  * IncrementalSpec and the ScalaTest gates (SURVEY.md §5.2).
   */
 object SparkEntry {
 
@@ -288,6 +289,21 @@ object SparkEntry {
     "g01_er_clusters" -> ((s, _) => {
       val p = FlagshipParams
       graft.ops.Portable.erClustersPortable(s,
+        Synth.pages(s, p).toDF(), Synth.dict(s, p).toDF())
+    }),
+
+    // g15: INCREMENTAL ER, cross-engine proof row. The Spark side resolves a
+    // deterministic 75% of the fixture as a base corpus, then ATTACHES the
+    // remaining 25% as a delta batch touching only delta-adjacent state
+    // (ops/Portable.erClustersPortableIncremental — the portable form of
+    // ops/Incremental.attach). The oracle replays the FULL BATCH twin over
+    // the whole fixture (the g01 SQL): hash equality proves the delta-
+    // maintenance algebra equals a from-scratch run in an independent
+    // engine. Production (xxhash/ensemble) incremental attach is pinned to
+    // its own batch run by IncrementalSpec.
+    "g15_incremental_er" -> ((s, _) => {
+      val p = FlagshipParams
+      graft.ops.Portable.erClustersPortableIncremental(s,
         Synth.pages(s, p).toDF(), Synth.dict(s, p).toDF())
     }),
 
@@ -593,6 +609,9 @@ object SparkEntry {
     portableBucketDirs.keySet().asScala.toList.foreach { d =>
       val p = portableBucketDirs.remove(d); if (p != null) deleteDir(p)
     }
+    incrBaseDirs.keySet().asScala.toList.foreach { d =>
+      val p = incrBaseDirs.remove(d); if (p != null) deleteDir(p)
+    }
   }
 
   /** Post-timing hook: Bench calls this AFTER the timed action on each
@@ -628,6 +647,33 @@ object SparkEntry {
       val path = java.nio.file.Files.createTempDirectory("graft-annbucket").toString
       Ann.writeBucketed(t(s, d, "embeddings"), path)
       path
+    })
+
+  /** Committed incremental-ER base state at bench scale, for the g15
+    * override's timed attach: a bench-pages synthetic corpus written to
+    * parquet plus a full pipeline run over its 98%-of-urls "base" slice
+    * (keepBlockOverflow so cap re-entry is exact). Built once per session —
+    * the one-off build lands in rep 1's wall and Bench's min-of-reps
+    * reports the pure attach; deleted by releaseBenchCaches. */
+  private val incrBaseDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Delta slice: 2% of urls (a daily-crawl-sized fraction). */
+  private def incrIsDelta = pmod(xxhash64(col("url")), lit(100)) < 2
+  private def incrParams: SynthParams = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "50000").toInt
+    SynthParams(nPages = n, nEntities = math.max(200, n / 25))
+  }
+  private def incrBaseDir(s: SparkSession): String =
+    incrBaseDirs.computeIfAbsent("incr", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-incrbase").toString
+      Synth.pages(s, incrParams).toDF()
+        .write.mode("overwrite").parquet(s"$dir/pages.parquet")
+      Pipeline.run(s,
+        s.read.parquet(s"$dir/pages.parquet").filter(!incrIsDelta),
+        Synth.dict(s, incrParams).toDF(),
+        PipelineConfig(checkpointDir = s"$dir/base", runId = "incr_base",
+          keepBlockOverflow = true))
+      dir
     })
 
   /** Axis-sign bucket-partitioned table paths for the g14 portable probe
@@ -683,7 +729,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_vecs"))
     }),
     "g13_ann_bucketed_topk" -> ((s, d) =>
-      Ann.lshTopKBucketed(s, annBucketDir(s, d), queryVec(s, d), 10)))
+      Ann.lshTopKBucketed(s, annBucketDir(s, d), queryVec(s, d), 10)),
+    // g15 bench: the PRODUCTION incremental attach (ops/Incremental.attach,
+    // xxhash/ensemble path) of a 2%-of-urls delta against the committed
+    // bench-scale base state — the operation a deployment runs when a crawl
+    // delta lands, directly comparable to er_pipeline (the full re-run over
+    // the same corpus size). The `queries` g15 stays the oracle-portable
+    // incremental twin; the production algebra is pinned exact by
+    // IncrementalSpec (attach == full recompute, incl. cap re-entry).
+    "g15_incremental_er" -> ((s, _) => {
+      val dir = incrBaseDir(s)
+      val base = Incremental.stateFromCheckpoint(s, s"$dir/base")
+      Incremental.attach(s, base,
+        s.read.parquet(s"$dir/pages.parquet").filter(incrIsDelta),
+        Synth.dict(s, incrParams).toDF(),
+        PipelineConfig(checkpointDir = s"$dir/base", runId = "incr_attach",
+          keepBlockOverflow = true)).clusters
+    }))
 
   /** Shared oracle-SQL fragments for the portable near-dup family: md5
     * minhash-LSH candidates (16 hashes, 8 bands x 2 rows, bucket cap 256)
@@ -719,12 +781,10 @@ object SparkEntry {
     * graft.Verify dumps to parquet (the `__FIXTURE_DIR__` placeholder is
     * substituted with the dump path when Verify writes oracle_sql.json), so
     * every queries entry now has an oracle row. */
-  def oracleSql: Map[String, String] = Map(
-    // the full portable ER pipeline rebuilt in SQL: snapshot window → md5
-    // extraction invariant → regexp mention extraction → dict-join + md5
-    // minhash-LSH blocking (capped) → within-block pairs → distinct-token
-    // overlap scoring → recursive-CTE connected components → cluster sizes
-    "g01_er_clusters" ->
+  /** Full-batch portable-twin replay over the flagship fixture: the
+    * oracle for BOTH g01 (batch twin) and g15 (incremental twin — the
+    * attach algebra must reproduce the batch result exactly). */
+  private lazy val erTwinFullBatchSql: String =
       s"""WITH RECURSIVE pages AS (
            SELECT * FROM read_parquet('__FIXTURE_DIR__/pages.parquet/*.parquet')),
          dict AS (SELECT * FROM read_parquet('__FIXTURE_DIR__/dict.parquet/*.parquet')),
@@ -770,7 +830,17 @@ object SparkEntry {
          reach AS (SELECT u, v FROM und
            UNION SELECT r.u, d.v FROM reach r JOIN und d ON r.v = d.u WHERE d.v <> r.u),
          cc AS (SELECT u, min(v) AS cluster_id FROM reach GROUP BY u HAVING min(v) < u)
-         SELECT cluster_id, count(*) + 1 AS cluster_size FROM cc GROUP BY cluster_id""",
+         SELECT cluster_id, count(*) + 1 AS cluster_size FROM cc GROUP BY cluster_id"""
+
+  def oracleSql: Map[String, String] = Map(
+    // the full portable ER pipeline rebuilt in SQL: snapshot window → md5
+    // extraction invariant → regexp mention extraction → dict-join + md5
+    // minhash-LSH blocking (capped) → within-block pairs → distinct-token
+    // overlap scoring → recursive-CTE connected components → cluster sizes
+    "g01_er_clusters" -> erTwinFullBatchSql,
+    // the incremental attach (g15) must equal the full batch over the
+    // same fixture, so its oracle replay is the SAME full-batch twin SQL
+    "g15_incremental_er" -> erTwinFullBatchSql,
     "q32_pairwise_f1" ->
       """WITH ev AS (SELECT user_id, event_id, value,
            try_cast(json_extract_string(props, '$.k') as int) AS k FROM events),

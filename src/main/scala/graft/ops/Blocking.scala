@@ -98,6 +98,28 @@ object Blocking {
     cold.unionByName(hot)
   }
 
+  /** The complement of capBlocks: the rank>maxBlock remainder of hot blocks
+    * (same deterministic content-hash rank). Batch runs never read these
+    * rows, but incremental attach does — when a dirty url's mentions LEAVE a
+    * hot block, previously capped-out members re-enter the top-maxBlock, and
+    * reproducing the batch cap over the shrunken membership requires the
+    * full raw membership. Persisted as stage s2_overflow when
+    * `PipelineConfig.keepBlockOverflow`; its size is exactly
+    * `cappedDropCount` rows (the skew tail), not O(corpus). */
+  def capBlocksOverflow(blocks: DataFrame, maxBlock: Int): DataFrame = {
+    val sizes = blocks.groupBy("block_key")
+      .agg(count(lit(1)).as("block_size"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("block_key"))
+      .orderBy(xxhash64(col("block_key"), col("mention_id")).asc,
+        col("mention_id").asc)
+    blocks.join(sizes, Seq("block_key"))
+      .filter(col("block_size") > maxBlock)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") > maxBlock)
+      .drop("__rk")
+  }
+
   /** Mentions dropped by the rank cap, from a CAPPED blocks table alone:
     * block_size is the true pre-cap size, so dropped = Σ max(0, size - cap)
     * over distinct blocks — one cheap aggregation, no recompute of the

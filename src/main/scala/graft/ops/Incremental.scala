@@ -1,0 +1,416 @@
+package graft.ops
+
+import scala.util.chaining._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.PipelineConfig
+
+/** Incremental entity resolution: attach a DELTA batch of pages to the
+  * committed state of a previous full run, recomputing only what the delta
+  * can have changed, with output provably IDENTICAL to a full re-run over
+  * base+delta (IncrementalSpec asserts exact cluster equality, including
+  * block-cap re-entry and snapshot-update cases).
+  *
+  * Why this operator exists: at 10^12 documents the flagship pipeline is not
+  * re-run per crawl — a daily delta is a fraction of a percent of the corpus,
+  * and every stage of the batch pipeline (blocking, pair-gen, scoring, CC) is
+  * delta-localizable because its decisions are content-deterministic:
+  *
+  *  - snapshot dedup picks a total-order max per url, so the merged winner is
+  *    max(base winner, delta rows) — no other url's winner can change;
+  *  - block membership is a deterministic function of a mention's content,
+  *    so only blocks that a dirty mention enters or leaves ("touched") can
+  *    change membership, and the stop-key cap keeps a content-hash-ranked
+  *    top-k, so recomputing the cap over a touched block's merged membership
+  *    reproduces the batch cap bit-identically (the overflow rows a batch
+  *    run dropped are kept in the s2_overflow stage for exactly this
+  *    re-entry case — `PipelineConfig.keepBlockOverflow`);
+  *  - pair scores are pair-intrinsic (features read only the two mentions),
+  *    so a url pair needs rescoring only if its decision inputs changed:
+  *    its TOUCHED-block contribution differs between old and new membership
+  *    (generation gained/lost, or the min-block-id tiebreak moved), or it is
+  *    incident to a dirty url (payload change). A touched-but-under-cap
+  *    block regenerates its non-dirty pairs identically, so those pairs fall
+  *    out of the old-vs-new diff and are NOT rescored — the rescore set P is
+  *    delta-proportional, not neighborhood-proportional;
+  *  - the best-pair decision is per url pair over its full candidate set, so
+  *    P's pairs are rescored over (surviving base candidates with an
+  *    untouched generating block) ∪ (touched-block regenerated candidates)
+  *    — the same set a batch run would see;
+  *  - CC labels are component minima, so unaffected components keep their
+  *    labels verbatim and only components touched by an added/removed edge
+  *    (plus dirty nodes) are re-solved, over a subgraph that provably
+  *    contains every final edge incident to it.
+  *
+  * Scale shape: every shuffle is delta-proportional. Base state is read as
+  * scans with broadcast semi-join pruning (touched keys against s2/s2_overflow,
+  * affected mention ids against s3, affected urls against s4/s5) — at
+  * deployment scale those indexes would be bucketed by key so the scans
+  * become partition-pruned reads; nothing here shuffles an O(base) table.
+  *
+  * Reference analogue: the memoized precompute-once pattern of
+  * `main_scripts/step9_processing_all_documents.py:146-159` (dimension maps
+  * built once, probed per document batch) and the stage-resume layout of
+  * `main_scripts/run_main_steps.py` — re-expressed as exact delta
+  * maintenance over the checkpointed stage tables.
+  */
+object Incremental {
+
+  /** Committed base state: the stage tables a full `Pipeline.run` wrote.
+    * `blockOverflow` is the rank>cap remainder of hot blocks (stage
+    * s2_overflow, written when `cfg.keepBlockOverflow`); without it,
+    * cap re-entry on shrinking hot blocks cannot be reproduced and attach()
+    * refuses dirty deletes from hot blocks (strict=false documents the
+    * approximation instead). */
+  case class BaseState(
+      pages: DataFrame,
+      mentions: DataFrame,
+      blocks: DataFrame,
+      blockOverflow: Option[DataFrame],
+      pairs: DataFrame,
+      scored: DataFrame,
+      clusters: DataFrame)
+
+  /** Read the base state back from a full run's checkpoint directory. */
+  def stateFromCheckpoint(spark: SparkSession, ckptDir: String): BaseState = {
+    def rd(s: String) = spark.read.parquet(s"$ckptDir/$s")
+    val overflowPath = java.nio.file.Paths.get(s"$ckptDir/s2_overflow", "_SUCCESS")
+    BaseState(rd("s0_pages"), rd("s1_mentions"), rd("s2_blocks"),
+      if (java.nio.file.Files.exists(overflowPath)) Some(rd("s2_overflow")) else None,
+      rd("s3_pairs"), rd("s4_scored"), rd("s5_clusters"))
+  }
+
+  /** Attach output: full updated tables (same schemas as the batch stages,
+    * equal to a batch run over base+delta) plus the delta-sized intermediate
+    * frames a caller can count for locality metrics / lineage. */
+  case class AttachResult(
+      clusters: DataFrame,
+      scored: DataFrame,
+      mentions: DataFrame,
+      pages: DataFrame,
+      /** (url) urls whose winning snapshot changed or is new. */
+      dirtyUrls: DataFrame,
+      /** (block_key) blocks whose membership can have changed. */
+      touchedKeys: DataFrame,
+      /** Rescored url-pair rows (the work the delta actually caused). */
+      rescored: DataFrame,
+      /** (url_a, url_b, was_match, now_match) pairs whose decision flipped. */
+      changedEdges: DataFrame,
+      /** (cluster_id) base labels dissolved and re-solved this attach. */
+      affectedLabels: DataFrame,
+      /** Intermediates are eager local checkpoints (plan-cut leaves); their
+        * blocks are reclaimed by the ContextCleaner when the AttachResult
+        * goes out of scope, so release is a no-op kept for API stability. */
+      release: () => Unit = () => ())
+
+  /** Incrementally resolve `deltaPagesIn` (raw page rows, same schema as the
+    * batch input) against `base`. `cfg` must carry the SAME blocking/scoring
+    * parameters as the base run — the equality guarantee is per-config. */
+  def attach(spark: SparkSession, base: BaseState, deltaPagesIn: DataFrame,
+      dict: DataFrame, cfg: PipelineConfig,
+      /** Print wall + row count per materialized intermediate (dev/ops
+        * decomposition — tools/IncrAB passes true). */
+      verbose: Boolean = false): AttachResult = {
+    // Eager local checkpoints, NOT persist(): each keep() cuts the LOGICAL
+    // plan to a leaf, not just the execution lineage. The attach algebra
+    // references its intermediates multiply (old-vs-new memberships, UxU
+    // diffs, subgraph assembly), so with persist() the analyzed plan grows
+    // exponentially with stage depth — measured on the portable twin:
+    // analysis time doubling per stage, then a driver analyzer OOM at 800
+    // fixture pages. Base tables stay lazy parquet scans (leaf plans); only
+    // delta-proportional intermediates are materialized. Checkpoint blocks
+    // are reclaimed by the ContextCleaner once the frames go out of scope.
+    def keep(name: String)(df: DataFrame): DataFrame =
+      if (!verbose) df.localCheckpoint(eager = true)
+      else {
+        val t0 = System.nanoTime()
+        val out = df.localCheckpoint(eager = true)
+        println(f"[attach] $name%-20s ${(System.nanoTime() - t0) / 1e9}%7.2f s " +
+          f"rows=${out.count()}")
+        out
+      }
+
+    // ---- s0: merged snapshot winners for urls the delta mentions ----------
+    val deltaCanon = Extract.canonicalized(deltaPagesIn)
+    val deltaUrls = keep("deltaUrls")(deltaCanon.select("url").distinct())
+    val mergedTouchedPages = Extract.withInvariant(Extract.latestSnapshot(
+      base.pages.drop("invariant_ok")
+        .join(deltaUrls, Seq("url"), "left_semi")
+        .unionByName(deltaCanon)))
+      .pipe(keep("mergedTouchedPages"))
+
+    // dirty = new url, or an existing url whose winning snapshot changed
+    // (html hash is the identity that matters: extraction, mentions and
+    // blocking are deterministic in the html payload)
+    val baseWinner = base.pages
+      .join(deltaUrls, Seq("url"), "left_semi")
+      .select(col("url"), xxhash64(col("html")).as("h0"))
+    val dirtyUrls = mergedTouchedPages
+      .select(col("url"), xxhash64(col("html")).as("h1"))
+      .join(baseWinner, Seq("url"), "left_outer")
+      .filter(col("h0").isNull || col("h0") =!= col("h1"))
+      .select("url")
+      .pipe(keep("dirtyUrls"))
+
+    // ---- s1: mentions of dirty urls, old and new --------------------------
+    val dirtyPages = mergedTouchedPages.join(dirtyUrls, Seq("url"), "left_semi")
+    val newDirtyMentions = keep("newDirtyMentions")(Extract.mentions(dirtyPages, cfg.ctxWindow))
+    val oldDirtyMentions = base.mentions.join(dirtyUrls, Seq("url"), "left_semi")
+
+    // ---- s2: touched blocks -----------------------------------------------
+    // every block key a dirty mention enters (new membership) or leaves (old
+    // membership) — block keys are deterministic in mention content, so no
+    // other block's membership can differ from the base run's
+    val newDirtyBlocks = keep("newDirtyBlocks")(Blocking.allBlocks(newDirtyMentions, dict, cfg.seed))
+    val touchedKeys = newDirtyBlocks.select("block_key")
+      .union(Blocking.allBlocks(oldDirtyMentions, dict, cfg.seed).select("block_key"))
+      .distinct()
+      .pipe(keep("touchedKeys"))
+
+    // raw (uncapped) base membership of touched blocks: capped rows plus the
+    // committed overflow, so cap re-entry on shrinking blocks is exact
+    val baseRawTouched = base.blockOverflow
+      .map(o => base.blocks.select("block_key", "mention_id", "url")
+        .unionByName(o.select("block_key", "mention_id", "url")))
+      .getOrElse(base.blocks.select("block_key", "mention_id", "url"))
+      .join(broadcast(touchedKeys), Seq("block_key"), "left_semi")
+
+    // merged membership: base minus ALL dirty urls' old mentions, plus dirty
+    // new mentions; the content-hash rank cap then reproduces the batch cap
+    val mergedRawTouched = baseRawTouched
+      .join(dirtyUrls, Seq("url"), "left_anti")
+      .unionByName(newDirtyBlocks.select("block_key", "mention_id", "url"))
+      .pipe(keep("mergedRawTouched"))
+    val newTouchedBlocks = keep("newTouchedBlocks")(Blocking.capBlocks(mergedRawTouched, cfg.maxBlock)
+      .withColumn("block_id", xxhash64(col("block_key"))))
+    // materialized once: consumed by the leaver/entrant diff, the co-member
+    // expansion and the old-contribution join — without the checkpoint each
+    // consumer re-scans the full s2_blocks table
+    val oldTouchedBlocks = keep("oldTouchedBlocks")(base.blocks
+      .join(broadcast(touchedKeys), Seq("block_key"), "left_semi")
+      .select(col("block_key"), col("mention_id"), col("url"),
+        xxhash64(col("block_key")).as("block_id")))
+
+    // ---- s3: mention pairs whose candidate set can have changed -----------
+    // NEVER regenerate a touched block's full O(n²) pair set (one dirty
+    // mention in a cap-sized block would force ~cap²/2 rows, twice — at 200k
+    // pages that was 43M regenerated rows for a 224k-pair rescore). Instead
+    // diff the CAPPED MEMBERSHIP per touched block — O(members) rows:
+    //  - leavers:  in the base cap, not in the recomputed cap (dirty mention
+    //    removed, or pushed out by an entrant under the content-hash rank);
+    //  - entrants: in the recomputed cap, not in the base cap (new dirty
+    //    mention, or cap re-entry from the s2_overflow rows);
+    //  - dirty members: same (block, mention_id) on both sides but the url
+    //    is dirty — the mention PAYLOAD (ctx) may differ even when the
+    //    membership and ids do not.
+    // A mention pair's decision inputs changed iff one endpoint is in this
+    // delta set D for a block they co-occupy (generation gained/lost there,
+    // or the min-block-id tiebreak moved, or a payload changed); everything
+    // else regenerates bit-identically and is NOT rescored. Changed pairs =
+    // D × co-members — Σ|D_b|·|members_b|, delta-proportional.
+    val oldCapM = oldTouchedBlocks
+      .select("block_key", "mention_id", "url", "block_id")
+    val newCapM = newTouchedBlocks
+      .select("block_key", "mention_id", "url", "block_id")
+    val leavers = oldCapM.join(newCapM.select("block_key", "mention_id"),
+      Seq("block_key", "mention_id"), "left_anti")
+    val entrants = newCapM.join(oldCapM.select("block_key", "mention_id"),
+      Seq("block_key", "mention_id"), "left_anti")
+    val dirtyMembers = newCapM.join(dirtyUrls, Seq("url"), "left_semi")
+    val dMembers = keep("dMembers")(leavers.unionByName(entrants)
+      .unionByName(dirtyMembers).distinct())
+
+    // candidate mention pairs POSSIBLY changed (D × co-members within a
+    // shared touched block), oriented like production pair-gen (url_a<url_b)
+    val coMembers = oldCapM.unionByName(newCapM).distinct()
+    val mpRaw = keep("mpRaw")(dMembers
+      .select(col("block_key"), col("mention_id").as("mid_d"),
+        col("url").as("url_d"))
+      .join(coMembers.select(col("block_key"), col("mention_id").as("mid_o"),
+        col("url").as("url_o")), Seq("block_key"))
+      .filter(col("url_d") =!= col("url_o"))
+      .select(
+        when(col("url_d") < col("url_o"), col("mid_d")).otherwise(col("mid_o"))
+          .as("mid_a"),
+        when(col("url_d") < col("url_o"), col("mid_o")).otherwise(col("mid_d"))
+          .as("mid_b"),
+        least(col("url_d"), col("url_o")).as("url_a"),
+        greatest(col("url_d"), col("url_o")).as("url_b"))
+      .distinct())
+    val mpKeys = mpRaw.select("mid_a", "mid_b")
+
+    // per-pair min generating block id from each source, restricted to the
+    // candidate pairs — every join here is delta-proportional:
+    //  - tb_old / tb_new: touched blocks under old/new capped membership;
+    //  - tb_unt: untouched blocks (membership unchanged — base.blocks minus
+    //    touched) of the candidate pairs' mentions.
+    val midsChanged = mpKeys.select(col("mid_a").as("mention_id"))
+      .union(mpKeys.select(col("mid_b").as("mention_id"))).distinct()
+    val blocksOfChanged = keep("blocksOfChanged")(base.blocks
+      .join(midsChanged, Seq("mention_id"), "left_semi")
+      .join(broadcast(touchedKeys), Seq("block_key"), "left_anti")
+      .select(col("block_key"), col("mention_id"),
+        xxhash64(col("block_key")).as("block_id")))
+    def coGen(members: DataFrame, out: String) = mpKeys
+      .join(members.select(col("mention_id").as("mid_a"), col("block_key"),
+        col("block_id")), Seq("mid_a"))
+      .join(members.select(col("mention_id").as("mid_b"), col("block_key")),
+        Seq("mid_b", "block_key"))
+      .groupBy("mid_a", "mid_b")
+      .agg(min(col("block_id")).as(out))
+    val tbOld = coGen(oldCapM, "tb_old")
+    val tbNew = coGen(newCapM, "tb_new")
+    val tbUnt = coGen(blocksOfChanged, "tb_unt")
+
+    // TRULY changed pairs: touched contribution differs (generation gained/
+    // lost there, or the min-block-id tiebreak moved), or an endpoint url is
+    // dirty (payload may differ even with identical membership and ids).
+    // Pairs with identical touched contribution and clean payloads
+    // regenerate bit-identically and are NOT rescored.
+    val dirtyIncident = mpRaw
+      .join(dirtyUrls.withColumnRenamed("url", "url_a"), Seq("url_a"), "left_semi")
+      .unionByName(mpRaw.join(dirtyUrls.withColumnRenamed("url", "url_b"),
+        Seq("url_b"), "left_semi"))
+    val mpP = keep("mpP")(mpRaw
+      .join(tbOld, Seq("mid_a", "mid_b"), "left")
+      .join(tbNew, Seq("mid_a", "mid_b"), "left")
+      .filter(!(col("tb_old") <=> col("tb_new")))
+      .select("mid_a", "mid_b", "url_a", "url_b")
+      .unionByName(dirtyIncident)
+      .distinct())
+
+    // the rescore unit is the URL pair (best mention pair over its full
+    // candidate set): one changed mention-level candidate rescores the pair
+    val pairsP = keep("pairsP")(mpP.select("url_a", "url_b").distinct())
+
+    // url endpoints of P plus dirty urls: payload hydration + base pruning
+    val affectedUrls = keep("affectedUrls")(pairsP.select(col("url_a").as("url"))
+      .union(pairsP.select(col("url_b").as("url")))
+      .union(dirtyUrls.select("url"))
+      .distinct())
+
+    // base mention ids of affected urls (with url, for the pair-level semi
+    // join) — the pruning key into s3
+    val midsU = keep("midsU")(base.mentions.join(affectedUrls, Seq("url"), "left_semi")
+      .select(col("mention_id"), col("url")))
+    // committed candidates of P's url pairs, with their committed min
+    // generating block id
+    val s3P = base.pairs
+      .join(midsU.select(col("mention_id").as("mid_a"), col("url").as("url_a")),
+        Seq("mid_a"))
+      .join(midsU.select(col("mention_id").as("mid_b"), col("url").as("url_b")),
+        Seq("mid_b"))
+      .join(broadcast(pairsP), Seq("url_a", "url_b"), "left_semi")
+      .select("mid_a", "mid_b", "block_id")
+      .pipe(keep("s3P"))
+
+    // STABLE mention pairs of P's url pairs — not in the changed set, so
+    // their generation AND min block id are bit-identical to the committed
+    // row (both endpoints stable in every touched block they share, payloads
+    // clean): reuse base.pairs verbatim, no regeneration
+    val mpPKeys = mpP.select("mid_a", "mid_b")
+    val stableCands = s3P.join(mpPKeys, Seq("mid_a", "mid_b"), "left_anti")
+
+    // CHANGED pairs: new min block id = min(new touched, untouched)
+    // contribution; generated by neither source → EVICTED (absent from the
+    // rescore input, so its url pair drops out of the merged scored table
+    // unless other candidates remain)
+    val changedCands = mpPKeys
+      .join(tbNew, Seq("mid_a", "mid_b"), "left")
+      .join(tbUnt, Seq("mid_a", "mid_b"), "left")
+      .select(col("mid_a"), col("mid_b"),
+        least(col("tb_new"), col("tb_unt")).as("block_id"))
+      .filter(col("block_id").isNotNull)
+
+    // full new candidate set for the P pairs
+    val newCandsP = stableCands.unionByName(changedCands)
+
+    // ---- s4: rescore the P pairs over their full candidate sets -----------
+    // merged mentions view restricted to P's urls (hydration payload is
+    // delta-proportional)
+    val mentionsU = base.mentions
+      .join(dirtyUrls, Seq("url"), "left_anti")
+      .join(affectedUrls, Seq("url"), "left_semi")
+      .unionByName(newDirtyMentions)
+      .pipe(keep("mentionsU"))
+    val rescored = Scoring.score(newCandsP, mentionsU, cfg.weights,
+      cfg.embedDim, cfg.seed,
+      broadcastMentions = cfg.broadcastMentions.getOrElse(true))
+      .pipe(keep("rescored"))
+
+    // merged scored view: base rows for url pairs outside P are reused
+    // verbatim (their candidate sets and payloads cannot have changed)
+    val scoredMerged = base.scored
+      .join(broadcast(pairsP), Seq("url_a", "url_b"), "left_anti")
+      .unionByName(rescored)
+
+    // ---- s5: delta-local cluster maintenance ------------------------------
+    val oldEdgesUU = base.scored.filter(col("is_match"))
+      .join(broadcast(pairsP), Seq("url_a", "url_b"), "left_semi")
+      .select("url_a", "url_b")
+    val newEdgesUU = rescored.filter(col("is_match")).select("url_a", "url_b")
+    val changedEdges = oldEdgesUU.withColumn("was_match", lit(true))
+      .join(newEdgesUU.withColumn("now_match", lit(true)),
+        Seq("url_a", "url_b"), "full_outer")
+      .withColumn("was_match", coalesce(col("was_match"), lit(false)))
+      .withColumn("now_match", coalesce(col("now_match"), lit(false)))
+      .filter(col("was_match") =!= col("now_match"))
+      .pipe(keep("changedEdges"))
+
+    // labels to dissolve: components an added/removed edge touches, plus the
+    // labels of every dirty url (a dirty url's validity or membership can
+    // change even with no edge flips)
+    val changedUrls = changedEdges.select(col("url_a").as("url"))
+      .union(changedEdges.select(col("url_b").as("url")))
+      .union(dirtyUrls.select("url"))
+      .distinct()
+    val affectedLabels = base.clusters
+      .join(changedUrls, Seq("url"), "left_semi")
+      .select(col("cluster_id")).distinct()
+      .pipe(keep("affectedLabels"))
+
+    // re-solve subgraph: all members of dissolved labels plus dirty urls that
+    // are valid nodes under their merged winner; edges = base edges among
+    // members (components are edge-closed, so a member edge cannot leave the
+    // member set) minus removed flips plus added flips
+    val memberUrls = base.clusters
+      .join(broadcast(affectedLabels), Seq("cluster_id"), "left_semi")
+      .select("url")
+    val dirtyValidNodes = mergedTouchedPages
+      .join(dirtyUrls, Seq("url"), "left_semi")
+      .filter(col("lang") === "en" && col("invariant_ok"))
+      .select("url")
+    val subNodes = memberUrls.join(dirtyUrls, Seq("url"), "left_anti")
+      .union(dirtyValidNodes).distinct()
+    val memberEdges = base.scored.filter(col("is_match"))
+      .join(memberUrls.withColumnRenamed("url", "url_a"), Seq("url_a"), "left_semi")
+      .select("url_a", "url_b")
+    val removed = changedEdges.filter(col("was_match")).select("url_a", "url_b")
+    val added = changedEdges.filter(col("now_match")).select("url_a", "url_b")
+    val subEdges = memberEdges
+      .join(removed, Seq("url_a", "url_b"), "left_anti")
+      .unionByName(added)
+      .withColumn("is_match", lit(true))
+
+    val resolved = Clustering.clusters(spark, subEdges, subNodes)
+
+    val clustersMerged = base.clusters
+      .join(broadcast(affectedLabels), Seq("cluster_id"), "left_anti")
+      .select("url", "cluster_id")
+      .unionByName(resolved.select("url", "cluster_id"))
+
+    // merged s0/s1 views for chaining (caller may checkpoint as a new base).
+    // pages swaps in the recomputed winner for EVERY delta url (not just
+    // dirty ones): a content-identical re-send with a later warc_ts is a
+    // semantic no-op but the batch s0 carries the later row, and the merged
+    // view must match it byte-for-byte
+    val pagesMerged = base.pages.join(deltaUrls, Seq("url"), "left_anti")
+      .unionByName(mergedTouchedPages)
+    val mentionsMerged = base.mentions.join(dirtyUrls, Seq("url"), "left_anti")
+      .unionByName(newDirtyMentions)
+
+    AttachResult(clustersMerged, scoredMerged, mentionsMerged, pagesMerged,
+      dirtyUrls, touchedKeys, rescored, changedEdges, affectedLabels)
+  }
+}

@@ -169,53 +169,187 @@ object Portable {
     * purity against the planted entity truth. */
   def erComponentsPortable(spark: SparkSession, pages: DataFrame,
       dict: DataFrame, maxBlock: Int = 256, minShared: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // s0: latest snapshot per url (md5 tiebreak), extraction invariant, lang
-    val w = Window.partitionBy("url")
-      .orderBy(col("warc_ts").desc, md5(col("html")).asc)
-    val body = regexp_extract(col("html").cast("string"), "<p>(.*)</p>", 1)
-    val ok = pages.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .filter(col("lang") === "en" &&
-        md5(body.cast("binary")) === md5(col("text").cast("binary")))
-      .select(col("url"), col("text"))
+    val ok = portableOk(pages)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // s1: distinct normalized mention keys per page
-      val men = ok.select(col("url"), explode(regexp_extract_all(col("text"),
-          lit("[A-Z][A-Za-z0-9]*( [A-Z][A-Za-z0-9]*)*"), lit(0))).as("surface"))
-        .filter(length(col("surface")) >= 2)
-        .select(col("url"),
-          regexp_replace(lower(col("surface")), "[^a-z0-9]+", "").as("nk"))
-        .distinct()
-      // s2: dictionary blocks (broadcast ontology join) + md5-minhash LSH
-      // blocks over char-3-shingles of the normalized key, stop-key capped
-      val dictKeys = dict.select(col("entity_id"), explode(col("keys")).as("nk"))
-      val dictBlk = men.join(broadcast(dictKeys), Seq("nk"))
-        .select(concat(lit("e:"), col("entity_id")).as("bucket"), col("url"))
-      val sh3 = when(length(col("nk")) < 3, array(col("nk"))).otherwise(
-        array_distinct(transform(sequence(lit(1), length(col("nk")) - 2),
-          i => col("nk").substr(i, lit(3)))))
-      val lshBlk = men.select(
-        explode(bandBuckets(md5MinhashSig(sh3, 16), 8, 2)).as("bucket"),
-        col("url"))
-      val blocks = dictBlk.unionByName(lshBlk).distinct()
-        .withColumnRenamed("url", "id")
-      // s3: capped within-block pairs (same machinery as the near-dup twins)
-      val cands = cappedCandidates(blocks, maxBlock)
-      // s4: portable context-overlap scorer
-      val toks = ok.select(col("url"),
-        graft.functions.token_set(col("text")).as("tk"))
-      val verified = cands
-        .join(toks.select(col("url").as("id_a"), col("tk").as("tk_a")), "id_a")
-        .join(toks.select(col("url").as("id_b"), col("tk").as("tk_b")), "id_b")
-        .filter(size(array_intersect(col("tk_a"), col("tk_b"))) >= minShared)
-        .select("id_a", "id_b")
+      val cands = cappedCandidates(portableBuckets(portableMen(ok), dict), maxBlock)
+      val verified = portableVerify(cands, portableToks(ok), minShared)
       // s5: CC over url strings (eager: every round materializes, so the
       // returned frame reads only the converged cut — safe to unpersist ok)
       Clustering.connectedComponents(spark,
         verified.select(col("id_a").as("u"), col("id_b").as("v")))
     } finally ok.unpersist()
+  }
+
+  /** s0 of the portable ER twin: latest snapshot per url (md5 tiebreak),
+    * extraction invariant, English filter → (url, text). */
+  private[ops] def portableOk(pages: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("url")
+      .orderBy(col("warc_ts").desc, md5(col("html")).asc)
+    val body = regexp_extract(col("html").cast("string"), "<p>(.*)</p>", 1)
+    pages.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .filter(col("lang") === "en" &&
+        md5(body.cast("binary")) === md5(col("text").cast("binary")))
+      .select(col("url"), col("text"))
+  }
+
+  /** s1: distinct normalized mention keys per page → (url, nk). */
+  private[ops] def portableMen(ok: DataFrame): DataFrame =
+    ok.select(col("url"), explode(regexp_extract_all(col("text"),
+        lit("[A-Z][A-Za-z0-9]*( [A-Z][A-Za-z0-9]*)*"), lit(0))).as("surface"))
+      .filter(length(col("surface")) >= 2)
+      .select(col("url"),
+        regexp_replace(lower(col("surface")), "[^a-z0-9]+", "").as("nk"))
+      .distinct()
+
+  /** s2: dictionary buckets (broadcast ontology join) + md5-minhash LSH
+    * buckets over char-3-shingles of the normalized key → (bucket, id). */
+  private[ops] def portableBuckets(men: DataFrame, dict: DataFrame): DataFrame = {
+    val dictKeys = dict.select(col("entity_id"), explode(col("keys")).as("nk"))
+    val dictBlk = men.join(broadcast(dictKeys), Seq("nk"))
+      .select(concat(lit("e:"), col("entity_id")).as("bucket"), col("url"))
+    val sh3 = when(length(col("nk")) < 3, array(col("nk"))).otherwise(
+      array_distinct(transform(sequence(lit(1), length(col("nk")) - 2),
+        i => col("nk").substr(i, lit(3)))))
+    val lshBlk = men.select(
+      explode(bandBuckets(md5MinhashSig(sh3, 16), 8, 2)).as("bucket"),
+      col("url"))
+    dictBlk.unionByName(lshBlk).distinct().withColumnRenamed("url", "id")
+  }
+
+  /** s4 feature input: distinct token set per page → (url, tk). */
+  private[ops] def portableToks(ok: DataFrame): DataFrame =
+    ok.select(col("url"), graft.functions.token_set(col("text")).as("tk"))
+
+  /** s4: portable context-overlap scorer over (id_a, id_b) candidates. */
+  private[ops] def portableVerify(cands: DataFrame, toks: DataFrame,
+      minShared: Int): DataFrame =
+    cands
+      .join(toks.select(col("url").as("id_a"), col("tk").as("tk_a")), "id_a")
+      .join(toks.select(col("url").as("id_b"), col("tk").as("tk_b")), "id_b")
+      .filter(size(array_intersect(col("tk_a"), col("tk_b"))) >= minShared)
+      .select("id_a", "id_b")
+
+  /** INCREMENTAL form of the portable ER twin (the cross-engine proof row
+    * for ops/Incremental's delta-maintenance algebra, g15): splits the
+    * fixture by a deterministic md5 url hash into a ~75% "base" corpus and a
+    * ~25% "delta" batch, resolves the base exactly as erComponentsPortable
+    * would, then ATTACHES the delta touching only delta-adjacent state —
+    * touched buckets, their regenerated candidates, survivors from untouched
+    * buckets, and a CC re-solve restricted to dissolved components — and
+    * returns the final (cluster_id, cluster_size) table. The DuckDB oracle
+    * replays the FULL BATCH twin over the whole fixture (the g01 SQL): hash
+    * equality IS the proof that the incremental algebra reproduces the batch
+    * result in an independent engine.
+    *
+    * The delta is inserts-only by construction (url-level split), which
+    * still exercises every structural case the attach algebra has: bucket
+    * eligibility flips (a bucket crossing the stop-key cap on insert DROPS
+    * its existing candidates — edge removal, cluster splits), new
+    * cross-cluster links (merges), survivors via untouched buckets, and
+    * isolated inserts. Snapshot-update deltas are exercised engine-side by
+    * IncrementalSpec against the production pipeline. The twin keeps the
+    * simpler UxU rescore set (endpoints of any touched-generated candidate);
+    * production ops/Incremental additionally restricts rescoring to the url
+    * pairs whose candidate set actually changed (delta-proportional P, not
+    * neighborhood UxU) — both forms are proven exact (this oracle row /
+    * IncrementalSpec). */
+  def erClustersPortableIncremental(spark: SparkSession, pages: DataFrame,
+      dict: DataFrame, maxBlock: Int = 256, minShared: Int = 3): DataFrame = {
+    val isDelta = substring(md5(col("url")), 1, 1).isin("c", "d", "e", "f")
+
+    // Eager local checkpoints, NOT persist(): each keep() cuts the LOGICAL
+    // plan to a leaf, not just the execution lineage. The attach algebra
+    // references its intermediates multiply (self-joins, unions, old-vs-new
+    // diffs), so with persist() the analyzed plan grows exponentially with
+    // stage depth — measured: analysis time doubling per stage and a driver
+    // analyzer OOM at 800 fixture pages. Checkpoint blocks are reclaimed by
+    // the ContextCleaner once these frames go out of scope.
+    def keep(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+    val okB = keep(portableOk(pages.filter(!isDelta)))
+    val okD = keep(portableOk(pages.filter(isDelta)))
+    val blkB = keep(portableBuckets(portableMen(okB), dict))
+    val blkD = keep(portableBuckets(portableMen(okD), dict))
+    val toksAll = keep(portableToks(okB.unionByName(okD)))
+    // committed base state (in-query here; on disk in a deployment)
+    val edgesB = keep(portableVerify(cappedCandidates(blkB, maxBlock),
+      toksAll, minShared))
+    val clustersB = keep(Clustering.clusters(spark,
+      edgesB.select(col("id_a").as("url_a"), col("id_b").as("url_b"),
+        lit(true).as("is_match")),
+      okB.select("url")))
+
+    // touched buckets: every bucket a delta url enters (inserts-only split
+    // ⇒ no bucket is left). Membership merged, eligibility recomputed —
+    // a bucket crossing the cap drops out WITH its existing candidates.
+    val touched = blkD.select("bucket").distinct()
+    val oldTouchedMembers = blkB.join(broadcast(touched), Seq("bucket"), "left_semi")
+    val newTouchedMembers = oldTouchedMembers.unionByName(blkD)
+    val oldTouchedCands = keep(cappedCandidates(oldTouchedMembers, maxBlock))
+    val newTouchedCands = keep(cappedCandidates(newTouchedMembers, maxBlock))
+
+    // affected url set U: endpoints of touched-generated candidates under
+    // either membership, plus every delta url
+    val affectedUrls = keep(oldTouchedCands.select(col("id_a").as("url"))
+      .union(oldTouchedCands.select(col("id_b").as("url")))
+      .union(newTouchedCands.select(col("id_a").as("url")))
+      .union(newTouchedCands.select(col("id_b").as("url")))
+      .union(okD.select("url"))
+      .distinct())
+
+    // survivors: candidate pairs inside UxU that an UNTOUCHED, still-
+    // eligible bucket generates (untouched membership is unchanged)
+    val blkUntouched = blkB.join(broadcast(touched), Seq("bucket"), "left_anti")
+      .join(affectedUrls.withColumnRenamed("url", "id"), Seq("id"), "left_semi")
+    val eligible = blkB.join(broadcast(touched), Seq("bucket"), "left_anti")
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBlock && col("n") > 1)
+    val inElig = blkUntouched.join(eligible.select("bucket"), Seq("bucket"), "left_semi")
+    val survivors = inElig.as("a").join(inElig.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+
+    // full candidate set for UxU → rescore → changed edges
+    val newCandsUU = newTouchedCands.unionByName(survivors).distinct()
+    val newEdgesUU = keep(portableVerify(newCandsUU, toksAll, minShared))
+    val inU = (c: String) => affectedUrls.withColumnRenamed("url", c)
+    val oldEdgesUU = edgesB
+      .join(inU("id_a"), Seq("id_a"), "left_semi")
+      .join(inU("id_b"), Seq("id_b"), "left_semi")
+    val removed = keep(oldEdgesUU.exceptAll(newEdgesUU))
+    val added = keep(newEdgesUU.exceptAll(oldEdgesUU))
+
+    // dissolve components an edge flip (or a delta url) touches; re-solve
+    // the subgraph; everything else keeps its base label
+    val changedUrls = removed.select(col("id_a").as("url"))
+      .union(removed.select(col("id_b").as("url")))
+      .union(added.select(col("id_a").as("url")))
+      .union(added.select(col("id_b").as("url")))
+      .union(okD.select("url"))
+      .distinct()
+    val affectedLabels = keep(clustersB.join(changedUrls, Seq("url"), "left_semi")
+      .select("cluster_id").distinct())
+    val memberUrls = clustersB
+      .join(broadcast(affectedLabels), Seq("cluster_id"), "left_semi")
+      .select("url")
+    val subNodes = memberUrls.union(okD.select("url")).distinct()
+    val memberEdges = edgesB
+      .join(memberUrls.withColumnRenamed("url", "id_a"), Seq("id_a"), "left_semi")
+    val subEdges = memberEdges.exceptAll(removed).unionByName(added)
+      .select(col("id_a").as("url_a"), col("id_b").as("url_b"),
+        lit(true).as("is_match"))
+    val resolved = Clustering.clusters(spark, subEdges, subNodes)
+
+    val finalAssign = clustersB
+      .join(broadcast(affectedLabels), Seq("cluster_id"), "left_anti")
+      .select("url", "cluster_id")
+      .unionByName(resolved.select("url", "cluster_id"))
+    // erClustersPortable output shape: non-representative member counts.
+    keep(finalAssign.filter(col("url") =!= col("cluster_id"))
+      .groupBy("cluster_id")
+      .agg((count(lit(1)) + lit(1)).as("cluster_size")))
   }
 
   /** Axis-aligned sign-LSH bucket: the sign pattern of the first nPlanes

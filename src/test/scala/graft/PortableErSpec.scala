@@ -56,4 +56,18 @@ class PortableErSpec extends SparkSpec {
     all(a.map(_._2)) should be >= 2L
     a shouldBe run()
   }
+
+  test("incremental portable twin equals the full-batch twin (g15 contract)") {
+    val p = SparkEntry.FlagshipParams
+    val pages = Synth.pages(spark, p).toDF()
+    val dict = Synth.dict(spark, p).toDF()
+    val batch = Portable.erClustersPortable(spark, pages, dict)
+      .as[(String, Long)].collect().sortBy(_._1)
+    val incr = Portable.erClustersPortableIncremental(spark, pages, dict)
+      .as[(String, Long)].collect().sortBy(_._1)
+    // the 75/25 split is real work on both sides of the attach
+    val isDelta = substring(md5(col("url")), 1, 1).isin("c", "d", "e", "f")
+    pages.filter(isDelta).select("url").distinct().count() should be > 50L
+    incr shouldBe batch
+  }
 }

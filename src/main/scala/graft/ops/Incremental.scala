@@ -83,12 +83,23 @@ object Incremental {
 
   /** Attach output: full updated tables (same schemas as the batch stages,
     * equal to a batch run over base+delta) plus the delta-sized intermediate
-    * frames a caller can count for locality metrics / lineage. */
+    * frames a caller can count for locality metrics / lineage. The merged
+    * stage views make attach CLOSED UNDER COMPOSITION: `commitAsBase` writes
+    * them as a new checkpoint and tomorrow's delta attaches against it
+    * (IncrementalSpec's composition test: two successive attaches equal one
+    * full batch, including the committed stage tables). */
   case class AttachResult(
       clusters: DataFrame,
       scored: DataFrame,
       mentions: DataFrame,
       pages: DataFrame,
+      /** Merged s2: untouched base blocks ∪ recomputed touched caps. */
+      blocks: DataFrame,
+      /** Merged s2_overflow (None iff the base lacked it — then the merged
+        * state cannot support exact cap re-entry on the NEXT attach). */
+      blockOverflow: Option[DataFrame],
+      /** Merged s3: stable base pairs ∪ recomputed changed pairs. */
+      pairs: DataFrame,
       /** (url) urls whose winning snapshot changed or is new. */
       dirtyUrls: DataFrame,
       /** (block_key) blocks whose membership can have changed. */
@@ -410,7 +421,44 @@ object Incremental {
     val mentionsMerged = base.mentions.join(dirtyUrls, Seq("url"), "left_anti")
       .unionByName(newDirtyMentions)
 
+    // merged s2/s2_overflow/s3 for chaining: untouched rows verbatim;
+    // touched blocks get the recomputed cap (newTouchedBlocks IS the batch
+    // cap over the merged raw membership) and its rank>cap remainder;
+    // changed pairs get their recomputed min generating block id
+    val baseCols = base.blocks.columns.toSeq
+    val blocksMerged = base.blocks
+      .join(broadcast(touchedKeys), Seq("block_key"), "left_anti")
+      .unionByName(newTouchedBlocks.select(baseCols.head, baseCols.tail: _*))
+    val overflowMerged = base.blockOverflow.map { o =>
+      o.join(broadcast(touchedKeys), Seq("block_key"), "left_anti")
+        .unionByName(
+          Blocking.capBlocksOverflow(mergedRawTouched, cfg.maxBlock)
+            .select(o.columns.head, o.columns.tail: _*))
+    }
+    val pairsMerged = base.pairs
+      .join(mpPKeys, Seq("mid_a", "mid_b"), "left_anti")
+      .unionByName(changedCands)
+
     AttachResult(clustersMerged, scoredMerged, mentionsMerged, pagesMerged,
+      blocksMerged, overflowMerged, pairsMerged,
       dirtyUrls, touchedKeys, rescored, changedEdges, affectedLabels)
+  }
+
+  /** Write the merged stage views as a NEW base checkpoint (must be a fresh
+    * directory — the views read the OLD base's parquet lazily, so writing
+    * over it would corrupt the read). After this, `stateFromCheckpoint(dir)`
+    * + `attach` consume the next delta: attach is closed under composition. */
+  def commitAsBase(res: AttachResult, dir: String): Unit = {
+    require(res.blockOverflow.isDefined,
+      "chaining requires a base built with keepBlockOverflow=true " +
+        "(exact cap re-entry on the next attach needs the overflow rows)")
+    res.pages.write.mode("error").parquet(s"$dir/s0_pages")
+    res.mentions.write.mode("error").parquet(s"$dir/s1_mentions")
+    res.blocks.write.mode("error").parquet(s"$dir/s2_blocks")
+    res.blockOverflow.foreach(
+      _.write.mode("error").parquet(s"$dir/s2_overflow"))
+    res.pairs.write.mode("error").parquet(s"$dir/s3_pairs")
+    res.scored.write.mode("error").parquet(s"$dir/s4_scored")
+    res.clusters.write.mode("error").parquet(s"$dir/s5_clusters")
   }
 }

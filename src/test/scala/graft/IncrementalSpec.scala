@@ -166,6 +166,54 @@ class IncrementalSpec extends SparkSpec {
     }
   }
 
+  test("attach composes: two successive deltas equal one full batch") {
+    val p = SynthParams(nPages = 1200, nEntities = 120)
+    val all = Synth.pages(spark, p).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dict = Synth.dict(spark, p).toDF()
+    val hv = pmod(xxhash64(col("url")), lit(10))
+    val base0 = all.filter(hv < 7)
+    val d1 = all.filter(hv === 7 || hv === 8)
+    val d2 = all.filter(hv === 9)
+
+    val fullCfg = PipelineConfig(checkpointDir = freshDir(), runId = "full",
+      keepBlockOverflow = true)
+    val full = Pipeline.run(spark, all, dict, fullCfg)
+
+    val baseCfg = PipelineConfig(checkpointDir = freshDir(), runId = "b0",
+      keepBlockOverflow = true)
+    Pipeline.run(spark, base0, dict, baseCfg)
+    val r1 = Incremental.attach(spark,
+      Incremental.stateFromCheckpoint(spark, baseCfg.checkpointDir),
+      d1, dict, baseCfg)
+    val dir1 = freshDir() + "/chained"
+    Incremental.commitAsBase(r1, dir1)
+    val r2 = Incremental.attach(spark,
+      Incremental.stateFromCheckpoint(spark, dir1), d2, dict, baseCfg)
+
+    clusterSet(r2.clusters) shouldBe clusterSet(full.clusters)
+    edgeSet(r2.scored) shouldBe edgeSet(full.scored)
+
+    // the committed intermediate base (base0+d1) must ALSO equal a batch
+    // run's stage tables — the merged s2/s2_overflow/s3 views are exact,
+    // not just sufficient for the final answer
+    val midCfg = PipelineConfig(checkpointDir = freshDir(), runId = "mid",
+      keepBlockOverflow = true)
+    Pipeline.run(spark, base0.unionByName(d1), dict, midCfg)
+    val mid = Incremental.stateFromCheckpoint(spark, midCfg.checkpointDir)
+    val chained = Incremental.stateFromCheckpoint(spark, dir1)
+    def rows(df: DataFrame, cs: String*): Set[Seq[Any]] =
+      df.select(cs.head, cs.tail: _*).collect().map(_.toSeq).toSet
+    val bc = Seq("block_key", "mention_id", "url", "block_size", "block_id")
+    rows(chained.blocks, bc: _*) shouldBe rows(mid.blocks, bc: _*)
+    rows(chained.blockOverflow.get, bc.init: _*) shouldBe
+      rows(mid.blockOverflow.get, bc.init: _*)
+    rows(chained.pairs, "mid_a", "mid_b", "block_id") shouldBe
+      rows(mid.pairs, "mid_a", "mid_b", "block_id")
+    all.unpersist()
+    ()
+  }
+
   test("content-identical re-send delta is a semantic no-op") {
     val p = SynthParams(nPages = 600, nEntities = 60)
     val all = Synth.pages(spark, p).toDF()

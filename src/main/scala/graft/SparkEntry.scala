@@ -317,6 +317,20 @@ object SparkEntry {
       graft.ops.Portable.nearDupMd5(s, t(s, d, "documents"), "doc_id",
         Dedup.charShingles(lower(col("text")), 5), threshold = 0.8)),
 
+    // g16: INCREMENTAL near-dup, cross-engine proof row — the g15 delta-
+    // maintenance pattern extended to the training-data dedup family. The
+    // Spark side dedups a deterministic ~75% of the documents table as a
+    // base corpus, then ATTACHES the remaining ~25% touching only delta-
+    // adjacent buckets (incl. stop-key cap crossings, whose evicted pairs
+    // get a per-pair survivor check) and re-solving only dissolved CC
+    // components. The oracle replays the FULL BATCH g02 SQL: hash equality
+    // proves attach == from-scratch dedup in an independent engine; the
+    // engine-side pin is ProdTwinAgreementSpec's g16 test. Bench bounds the
+    // md5 twin's cost via a deterministic doc_id%10 slice (benchOverrides).
+    "g16_incremental_neardup" -> ((s, d) =>
+      graft.ops.Portable.nearDupMd5Incremental(s, t(s, d, "documents"),
+        "doc_id", Dedup.charShingles(lower(col("text")), 5), threshold = 0.8)),
+
     "g03_docs_simhash_neardup" -> ((s, d) =>
       graft.ops.Portable.simhashNearDupMd5(s, t(s, d, "documents"))),
 
@@ -730,6 +744,16 @@ object SparkEntry {
     }),
     "g13_ann_bucketed_topk" -> ((s, d) =>
       Ann.lshTopKBucketed(s, annBucketDir(s, d), queryVec(s, d), 10)),
+    // g16 bench: the same incremental near-dup twin Verify hash-checks on
+    // the full table, bounded to a deterministic doc_id%10 slice — the md5
+    // hash family (chosen for DuckDB portability, not speed) costs ~160s on
+    // the full 50k-doc sf0.1 table, which would double the bench total for
+    // a correctness-row twin; the slice keeps the measured dataflow
+    // identical at a bench-appropriate size.
+    "g16_incremental_neardup" -> ((s, d) =>
+      graft.ops.Portable.nearDupMd5Incremental(s,
+        t(s, d, "documents").filter(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", Dedup.charShingles(lower(col("text")), 5), threshold = 0.8)),
     // g15 bench: the PRODUCTION incremental attach (ops/Incremental.attach,
     // xxhash/ensemble path) of a 2%-of-urls delta against the committed
     // bench-scale base state — the operation a deployment runs when a crawl
@@ -1005,6 +1029,14 @@ object SparkEntry {
                 THEN url ELSE h END AS canon
          FROM s8""",
     "g02_docs_minhash_neardup" -> md5NearDupSql(
+      """sets AS (SELECT doc_id,
+           CASE WHEN length(lower(text)) < 5 THEN [lower(text)]
+                ELSE list_distinct(list_transform(range(1, length(lower(text)) - 3),
+                       i -> substring(lower(text), i, 5))) END AS sh
+         FROM documents)""", "0.8"),
+    // the incremental near-dup attach (g16) must equal the full batch over
+    // the same table, so its oracle replay is the SAME g02 full-batch SQL
+    "g16_incremental_neardup" -> md5NearDupSql(
       """sets AS (SELECT doc_id,
            CASE WHEN length(lower(text)) < 5 THEN [lower(text)]
                 ELSE list_distinct(list_transform(range(1, length(lower(text)) - 3),

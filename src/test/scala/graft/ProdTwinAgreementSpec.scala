@@ -43,4 +43,17 @@ class ProdTwinAgreementSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     prod shouldBe twin
   }
+
+  test("g16: incremental minhash near-dup twin == full-batch twin on sf0.01") {
+    // the g16 contract: attaching the deterministic ~25% delta slice to the
+    // ~75% base dedup state reproduces the from-scratch dedup exactly (the
+    // DuckDB oracle replays the batch SQL; this is the engine-side pin)
+    val batch = Portable.nearDupMd5(spark, docs(), "doc_id",
+        Dedup.charShingles(lower(col("text")), 5), threshold = 0.8)
+      .as[(Long, Long)].collect().toSet
+    val incr = Portable.nearDupMd5Incremental(spark, docs(), "doc_id",
+        Dedup.charShingles(lower(col("text")), 5), threshold = 0.8)
+      .as[(Long, Long)].collect().toSet
+    incr shouldBe batch
+  }
 }

@@ -626,6 +626,9 @@ object SparkEntry {
     incrBaseDirs.keySet().asScala.toList.foreach { d =>
       val p = incrBaseDirs.remove(d); if (p != null) deleteDir(p)
     }
+    dedupStateDirs.keySet().asScala.toList.foreach { d =>
+      val p = dedupStateDirs.remove(d); if (p != null) deleteDir(p)
+    }
   }
 
   /** Post-timing hook: Bench calls this AFTER the timed action on each
@@ -690,6 +693,24 @@ object SparkEntry {
       dir
     })
 
+  /** Committed minhash dedup state at bench scale for the g16 override's
+    * timed attach: the band index / edges / assignment of the 98%-of-doc_ids
+    * base slice of the sfDir documents table, committed to parquet once per
+    * (session, sfDir) — rep 1 pays the build, min-of-reps reports the pure
+    * attach; deleted by releaseBenchCaches. */
+  private val dedupStateDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Delta slice: 2% of doc_ids (a daily-crawl-sized fraction). */
+  private def dedupIsDelta = pmod(xxhash64(col("doc_id")), lit(100)) < 2
+  private def dedupStateDir(s: SparkSession, d: String): String =
+    dedupStateDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-dedupstate").toString
+      Dedup.commitDedupState(
+        Dedup.minhashDedupState(s, t(s, d, "documents").filter(!dedupIsDelta)),
+        dir)
+      dir
+    })
+
   /** Axis-sign bucket-partitioned table paths for the g14 portable probe
     * (written once per sfDir; deleted by releaseBenchCaches). */
   private val portableBucketDirs =
@@ -744,16 +765,22 @@ object SparkEntry {
     }),
     "g13_ann_bucketed_topk" -> ((s, d) =>
       Ann.lshTopKBucketed(s, annBucketDir(s, d), queryVec(s, d), 10)),
-    // g16 bench: the same incremental near-dup twin Verify hash-checks on
-    // the full table, bounded to a deterministic doc_id%10 slice — the md5
-    // hash family (chosen for DuckDB portability, not speed) costs ~160s on
-    // the full 50k-doc sf0.1 table, which would double the bench total for
-    // a correctness-row twin; the slice keeps the measured dataflow
-    // identical at a bench-appropriate size.
-    "g16_incremental_neardup" -> ((s, d) =>
-      graft.ops.Portable.nearDupMd5Incremental(s,
-        t(s, d, "documents").filter(pmod(col("doc_id"), lit(10)) === 0),
-        "doc_id", Dedup.charShingles(lower(col("text")), 5), threshold = 0.8)),
+    // g16 bench: the PRODUCTION incremental near-dup attach
+    // (Dedup.minhashNearDupAttach, xxhash kernel) of a 2%-of-doc_ids delta
+    // against the committed parquet dedup state over the sfDir documents
+    // table — the operation a deployment runs when a crawl delta lands,
+    // directly comparable to g02 (the full re-dedup of the same corpus).
+    // The `queries` g16 stays the oracle-portable md5 incremental twin
+    // (hash-checked against the full-batch g02 SQL); the production algebra
+    // is pinned exact by DedupIncrementalSpec (attach == batch, incl. the
+    // cap-crossing survivor branch and attach∘attach composition). The
+    // one-off state build lands in rep 1's wall (computeIfAbsent); min-of-
+    // reps reports the pure attach.
+    "g16_incremental_neardup" -> ((s, d) => {
+      val state = Dedup.dedupStateFromDir(s, dedupStateDir(s, d))
+      Dedup.minhashNearDupAttach(s, state, t(s, d, "documents"),
+        t(s, d, "documents").filter(dedupIsDelta)).dups
+    }),
     // g15 bench: the PRODUCTION incremental attach (ops/Incremental.attach,
     // xxhash/ensemble path) of a 2%-of-urls delta against the committed
     // bench-scale base state — the operation a deployment runs when a crawl

@@ -92,8 +92,10 @@ object Dedup {
     * final CC checkpoint. */
   def minhashNearDup(spark: SparkSession, docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
-    val (cands, release) = minhashCandidatesManaged(docs, idCol, textCol, seed = seed)
+      threshold: Double = 0.8, maxBucket: Int = 256,
+      seed: Long = 42L): DataFrame = {
+    val (cands, release) = minhashCandidatesManaged(docs, idCol, textCol,
+      maxBucket = maxBucket, seed = seed)
     try minhashNearDupFrom(spark, docs, cands, idCol, textCol, threshold)
     finally release()
   }
@@ -253,4 +255,115 @@ object Dedup {
   def dedupedView(spark: SparkSession, docs: DataFrame, dups: DataFrame,
       idCol: String = "doc_id"): DataFrame =
     docs.join(dups.select(col(idCol)), Seq(idCol), "left_anti")
+
+  // ---- Incremental near-dup (SURVEY.md §2.12 row I8, production path) ----
+
+  /** Committed dedup state for the minhash near-dup family: the LSH band
+    * index, the verified near-dup edges, and the full lpad-keyed cluster
+    * assignment (self-clusters included) — the three stage tables an
+    * incremental attach reads (deployment: Iceberg stage tables; here
+    * parquet via commitDedupState). All three are delta-proportional to
+    * READ under attach: every access is pruned by a semi-join against the
+    * touched buckets or affected ids. */
+  final case class MinhashDedupState(keyed: DataFrame, edges: DataFrame,
+      assign: DataFrame)
+
+  /** The (id, bucket) LSH band table the candidate self-join pairs from —
+    * exposed so the incremental path can commit it as the band index
+    * instead of re-minhashing the corpus per crawl. */
+  def minhashBandTable(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int = 16, rows: Int = 4, seed: Long = 42L): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(lsh_band_keys(
+        minhash_sig(lower(col(textCol)), k = 5, numHashes = bands * rows,
+          seed = seed), bands, rows)).as("bucket"))
+
+  /** Pair-intrinsic verification for minhash candidates: exact character-
+    * shingle Jaccard >= threshold (same kernel as minhashNearDupFrom).
+    * Shingle sets are computed only for ids that appear in a candidate pair
+    * (semi-join pruning) — under attach this is what keeps verification
+    * delta-proportional instead of re-shingling the corpus. */
+  private def minhashVerify(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double)(cands: DataFrame): DataFrame = {
+    val ids = cands.select(col("id_a").as("id"))
+      .union(cands.select(col("id_b").as("id"))).distinct()
+    val texts = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+      .join(ids, Seq("id"), "left_semi")
+      .select(col("id"), shingle_hashes(lower(col("t")), 5).as("sh"))
+    cands
+      .join(texts.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(texts.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(sorted_jaccard(col("sh_a"), col("sh_b")) >= threshold)
+      .select("id_a", "id_b")
+  }
+
+  /** Batch-build the committed state over a base corpus. Semantics are
+    * exactly minhashNearDup's (same band table, same stop-key cap, same
+    * shingle-Jaccard verification): state.assign restricted to
+    * url != cluster_id is its (doc_id, dup_of) output —
+    * DedupIncrementalSpec pins this. */
+  def minhashDedupState(spark: SparkSession, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.8, bands: Int = 16, rows: Int = 4,
+      maxBucket: Int = 256, seed: Long = 42L): MinhashDedupState = {
+    def keep(df: DataFrame) = df.localCheckpoint(eager = true)
+    val keyed = keep(minhashBandTable(docs, idCol, textCol, bands, rows, seed))
+    val edges = keep(minhashVerify(docs, idCol, textCol, threshold)(
+      DeltaDedup.cappedPairs(keyed, maxBucket)))
+    val assign = keep(Clustering.clusters(spark,
+      edges.select(DeltaDedup.key(col("id_a")).as("url_a"),
+        DeltaDedup.key(col("id_b")).as("url_b"), lit(true).as("is_match")),
+      docs.select(DeltaDedup.key(col(idCol)).as("url"))))
+    MinhashDedupState(keyed, edges, assign)
+  }
+
+  /** Parquet round-trip for the committed state. */
+  def commitDedupState(state: MinhashDedupState, dir: String): Unit = {
+    state.keyed.write.mode("overwrite").parquet(s"$dir/keyed")
+    state.edges.write.mode("overwrite").parquet(s"$dir/edges")
+    state.assign.write.mode("overwrite").parquet(s"$dir/assign")
+  }
+
+  def dedupStateFromDir(spark: SparkSession, dir: String): MinhashDedupState =
+    MinhashDedupState(spark.read.parquet(s"$dir/keyed"),
+      spark.read.parquet(s"$dir/edges"), spark.read.parquet(s"$dir/assign"))
+
+  /** The (doc_id, dup_of) view of base ∪ delta plus the merged state —
+    * attach is closed under composition: commit the merged state and attach
+    * the next crawl without ever re-deduping the corpus. `removed` is the
+    * retracted base-edge set (stop-key cap crossings), exposed for metrics
+    * and for DedupIncrementalSpec's survivor-check assertions. */
+  final case class DedupAttachResult(dups: DataFrame, state: MinhashDedupState,
+      removed: DataFrame) {
+    def removedPairCount(): Long = removed.count()
+  }
+
+  /** Incremental near-dup attach of an inserts-only delta batch against a
+    * committed state (DeltaDedup.attach with the production xxhash kernel).
+    * `allDocs` must be base ∪ delta — verification hydrates shingle sets
+    * for touched ids from it, semi-join-pruned. Band/cap/threshold params
+    * MUST match the ones the state was built with. */
+  def minhashNearDupAttach(spark: SparkSession, state: MinhashDedupState,
+      allDocs: DataFrame, deltaDocs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", threshold: Double = 0.8, bands: Int = 16,
+      rows: Int = 4, maxBucket: Int = 256, seed: Long = 42L): DedupAttachResult = {
+    val keyedD = minhashBandTable(deltaDocs, idCol, textCol, bands, rows, seed)
+      .localCheckpoint(eager = true)
+    // the base slice stays the committed index — only the delta is plan-cut;
+    // Catalyst pushes the is_delta filters into the union branches, so the
+    // core's keyedB/keyedD reads never scan the other side
+    val keyedAll = state.keyed.withColumn("is_delta", lit(false))
+      .unionByName(keyedD.withColumn("is_delta", lit(true)))
+    val att = DeltaDedup.attach(spark, keyedAll, state.edges, state.assign,
+      minhashVerify(allDocs, idCol, textCol, threshold), maxBucket)
+    val mergedEdges = state.edges
+      .join(att.removed, Seq("id_a", "id_b"), "left_anti")
+      .unionByName(att.added)
+    val dups = att.assign.filter(col("url") =!= col("cluster_id"))
+      .select(col("url").cast("long").as(idCol),
+        col("cluster_id").cast("long").as("dup_of"))
+    DedupAttachResult(dups,
+      MinhashDedupState(state.keyed.unionByName(keyedD), mergedEdges, att.assign),
+      att.removed)
+  }
 }

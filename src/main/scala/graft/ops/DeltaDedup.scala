@@ -1,0 +1,182 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Delta-maintenance algebra for the banded near-dup family (SURVEY.md §2.12
+  * row I8): given the committed dedup state of a base corpus and an
+  * inserts-only delta batch, produce the cluster assignment the FULL BATCH
+  * dedup would produce over base ∪ delta — touching only delta-adjacent
+  * state. Generic over the hash kernel: the md5-portable twin
+  * (Portable.nearDupMd5Incremental, cross-engine proof row g16) and the
+  * production xxhash path (Dedup.minhashNearDupAttach) both call this core,
+  * so the survivor/cap-crossing logic cannot drift between them.
+  *
+  * Candidate-diff completeness under inserts-only deltas (band buckets only
+  * GAIN members, so n_new >= n_old):
+  *  - untouched buckets: membership and eligibility unchanged → generation
+  *    unchanged;
+  *  - touched, eligible before AND after: old-old pairs regenerate
+  *    identically; only delta × co-member pairs are new;
+  *  - touched, eligible → over-cap (stop-key crossing): ALL old pairs of the
+  *    bucket lose this generator — each survives iff another still-eligible
+  *    bucket (untouched, or touched-and-new-eligible) co-contains it,
+  *    checked per removed pair;
+  *  - touched, ineligible before (n_old < 2): at most one old member, so
+  *    every generated pair involves a delta doc → covered by the
+  *    delta × co-member expansion (n_old > cap stays over-cap forever).
+  * Verification is pair-intrinsic over immutable per-doc sets, so candidate
+  * flips are exactly edge flips, and CC labels are maintained with the same
+  * dissolve/re-solve pattern as the ER attach (ops/Incremental I5).
+  *
+  * Scale shape: every shuffle is delta-proportional — base state is read as
+  * scans pruned by semi-joins against the touched buckets / affected ids;
+  * nothing re-hashes or re-pairs the untouched corpus.
+  */
+object DeltaDedup {
+
+  /** Edge flips + maintained assignment from one inserts-only attach. */
+  final case class Attached(
+      /** (url, cluster_id) lpad-keyed assignment over base ∪ delta nodes. */
+      assign: DataFrame,
+      /** (id_a, id_b) verified base edges that lost their last eligible
+        * generating bucket (stop-key crossings). */
+      removed: DataFrame,
+      /** (id_a, id_b) newly verified edges involving a delta doc. */
+      added: DataFrame)
+
+  /** lpad string key: string order == numeric order for long ids, so CC's
+    * min-label representative equals the min numeric id. */
+  private[ops] def key(c: Column): Column = lpad(c.cast("string"), 20, "0")
+
+  /** Shared batch candidate rule: buckets with 1 < n <= maxBucket generate
+    * all (id_a < id_b) member pairs; over-cap (stop-key) and singleton
+    * buckets generate none. `keyed` is (id, bucket, ...). */
+  private[ops] def cappedPairs(keyed: DataFrame, maxBucket: Int): DataFrame = {
+    val sized = keyed.groupBy("bucket").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket && col("n") > 1)
+    val inB = keyed.select("bucket", "id").join(sized, "bucket")
+    inB.as("a").join(inB.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Attach an inserts-only delta to a committed dedup state.
+    *
+    * @param keyedAll    (id, bucket, is_delta) band table over base ∪ delta.
+    *                    The base slice must be the committed band index (NOT
+    *                    recomputed); the delta slice should be plan-cut by
+    *                    the caller (it is read many times below).
+    * @param baseEdges   (id_a, id_b) verified near-dup edges of the base
+    *                    state (id_a < id_b).
+    * @param baseAssign  (url, cluster_id) lpad-keyed assignment for EVERY
+    *                    base id (self-clusters included).
+    * @param verify      candidates (id_a, id_b) → verified pairs, pair-
+    *                    intrinsic over immutable per-doc sets. MUST apply
+    *                    the same similarity + threshold the batch used.
+    * @param maxBucket   the batch family's stop-key cap.
+    */
+  def attach(spark: SparkSession, keyedAll: DataFrame, baseEdges: DataFrame,
+      baseAssign: DataFrame, verify: DataFrame => DataFrame,
+      maxBucket: Int): Attached = {
+    // eager plan-cut leaves, not persist(): each keep() below roots several
+    // downstream self-referencing branches, and without a LOGICAL-plan cut
+    // the diff algebra's analyzed plan grows exponentially (persist() caches
+    // data but keeps the full plan; see Portable.erClustersPortableIncremental)
+    def keep(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+    val keyedB = keyedAll.filter(!col("is_delta"))
+    val keyedD = keyedAll.filter(col("is_delta"))
+
+    // touched buckets + membership under old and new views
+    val touched = keyedD.select("bucket").distinct()
+    val oldT = keyedB.join(touched, Seq("bucket"), "left_semi")
+    val newT = keep(oldT.unionByName(keyedD))
+    val sizes = keep(newT.groupBy("bucket").agg(count(lit(1)).as("n_new"))
+      .join(oldT.groupBy("bucket").agg(count(lit(1)).as("n_old")),
+        Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("n_old"), lit(0L)).as("n_old"),
+        col("n_new")))
+    val eligNew = sizes
+      .filter(col("n_new") > 1 && col("n_new") <= maxBucket).select("bucket")
+
+    // ADDED candidates: delta members × co-members in new-eligible buckets
+    val newTElig = newT.join(broadcast(eligNew), Seq("bucket"), "left_semi")
+    val addedCand = keep(newTElig.filter(col("is_delta"))
+      .select(col("bucket"), col("id").as("id_d"))
+      .join(newTElig.select(col("bucket"), col("id").as("id_o")), Seq("bucket"))
+      .filter(col("id_d") =!= col("id_o"))
+      .select(least(col("id_d"), col("id_o")).as("id_a"),
+        greatest(col("id_d"), col("id_o")).as("id_b"))
+      .distinct())
+
+    // REMOVED candidates: the whole pair set of buckets that CROSSED the
+    // stop-key cap on insert, minus pairs another still-eligible bucket
+    // (untouched — full size recomputed only for the buckets involved — or
+    // touched-and-new-eligible) still generates
+    val crossed = sizes.filter(col("n_old") > 1 && col("n_old") <= maxBucket &&
+      col("n_new") > maxBucket).select("bucket")
+    val crossedMembers = oldT.join(broadcast(crossed), Seq("bucket"), "left_semi")
+    val removedCand0 = keep(crossedMembers.as("a").join(crossedMembers.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct())
+    val removedIds = removedCand0.select(col("id_a").as("id"))
+      .union(removedCand0.select(col("id_b").as("id"))).distinct()
+    val untouchedOfRemoved = keyedB.join(removedIds, Seq("id"), "left_semi")
+      .join(touched, Seq("bucket"), "left_anti")
+    val untouchedEligSizes = keyedB
+      .join(untouchedOfRemoved.select("bucket").distinct(),
+        Seq("bucket"), "left_semi")
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1 && col("n") <= maxBucket)
+    val gen = untouchedOfRemoved
+      .join(untouchedEligSizes.select("bucket"), Seq("bucket"), "left_semi")
+      .select("bucket", "id")
+      .unionByName(newTElig.join(removedIds, Seq("id"), "left_semi")
+        .select("bucket", "id"))
+    val survivors = removedCand0
+      .join(gen.select(col("bucket"), col("id").as("id_a")), Seq("id_a"))
+      .join(gen.select(col("bucket"), col("id").as("id_b")),
+        Seq("id_b", "bucket"), "left_semi")
+      .select("id_a", "id_b").distinct()
+    val trueRemoved = removedCand0.join(survivors, Seq("id_a", "id_b"), "left_anti")
+
+    // edge flips: pair-intrinsic verification over immutable sets
+    val removedL = keep(baseEdges.join(trueRemoved, Seq("id_a", "id_b"), "left_semi"))
+    val addedL = keep(verify(addedCand)
+      .join(baseEdges, Seq("id_a", "id_b"), "left_anti"))
+    val removedK = removedL.select(key(col("id_a")).as("url_a"),
+      key(col("id_b")).as("url_b"))
+    val addedK = addedL.select(key(col("id_a")).as("url_a"),
+      key(col("id_b")).as("url_b"))
+
+    // dissolve components an edge flip touches; re-solve with delta nodes;
+    // everything else keeps its base label (same pattern as the ER attach)
+    val changedUrls = removedK.select(col("url_a").as("url"))
+      .union(removedK.select(col("url_b").as("url")))
+      .union(addedK.select(col("url_a").as("url")))
+      .union(addedK.select(col("url_b").as("url")))
+      .distinct()
+    val affectedLabels = keep(baseAssign.join(changedUrls, Seq("url"), "left_semi")
+      .select("cluster_id").distinct())
+    val memberUrls = baseAssign
+      .join(broadcast(affectedLabels), Seq("cluster_id"), "left_semi")
+      .select("url")
+    val subNodes = memberUrls
+      .union(keyedD.select(key(col("id")).as("url")).distinct()).distinct()
+    val memberEdges = baseEdges
+      .select(key(col("id_a")).as("url_a"), key(col("id_b")).as("url_b"))
+      .join(memberUrls.withColumnRenamed("url", "url_a"), Seq("url_a"), "left_semi")
+    val subEdges = memberEdges
+      .join(removedK, Seq("url_a", "url_b"), "left_anti")
+      .unionByName(addedK)
+      .withColumn("is_match", lit(true))
+    val resolved = Clustering.clusters(spark, subEdges, subNodes)
+    val assign = keep(baseAssign
+      .join(broadcast(affectedLabels), Seq("cluster_id"), "left_anti")
+      .select("url", "cluster_id")
+      .unionByName(resolved.select("url", "cluster_id")))
+    Attached(assign, removedL, addedL)
+  }
+}

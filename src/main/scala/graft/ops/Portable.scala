@@ -98,22 +98,10 @@ object Portable {
     * hash equality proves the attach equals a from-scratch dedup in an
     * independent engine.
     *
-    * Candidate-diff completeness under inserts-only deltas (buckets only
-    * GAIN members, so n_new >= n_old):
-    *  - untouched buckets: membership and eligibility unchanged → generation
-    *    unchanged;
-    *  - touched, eligible before AND after: old-old pairs regenerate
-    *    identically; only delta × co-member pairs are new;
-    *  - touched, eligible → over-cap (stop-key crossing): ALL old pairs of
-    *    the bucket lose this generator — each survives iff another
-    *    still-eligible bucket (untouched, or touched-and-new-eligible)
-    *    co-contains it, checked per removed pair;
-    *  - touched, ineligible before (n_old < 2): at most one old member, so
-    *    every generated pair involves a delta doc → covered by the
-    *    delta × co-member expansion (n_old > cap stays over-cap forever).
-    * Verification is pair-intrinsic over immutable shingle sets, so edge
-    * flips are exactly candidate flips, and CC labels are maintained with
-    * the same dissolve/re-solve pattern as the ER attach. */
+    * The delta algebra itself (candidate diff, cap-crossing survivor
+    * check, CC dissolve/re-solve — with its completeness argument) lives in
+    * DeltaDedup.attach, shared with the production xxhash path
+    * (Dedup.minhashNearDupAttach) so the two instantiations cannot drift. */
   def nearDupMd5Incremental(spark: SparkSession, docs: DataFrame, idCol: String,
       setCol: Column, threshold: Double, numHashes: Int = 16, bands: Int = 8,
       rows: Int = 2, maxBucket: Int = 256): DataFrame = {
@@ -127,113 +115,27 @@ object Portable {
     // recompute it per filter
     val keyedAll = keep(sets.select(col("id"),
       explode(bandBuckets(md5MinhashSig(col("sh"), numHashes), bands, rows))
-        .as("bucket")))
-    val keyedB = keyedAll.filter(!isDelta)
-    val keyedD = keyedAll.filter(isDelta)
+        .as("bucket"))
+      .withColumn("is_delta", isDelta))
+    val keyedB = keyedAll.filter(!col("is_delta"))
     def verify(cands: DataFrame) = cands
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .filter(setJaccard(col("sh_a"), col("sh_b")) >= threshold)
       .select("id_a", "id_b")
-    def key(c: Column) = lpad(c.cast("string"), 20, "0")
 
     // committed base state (in-query here; stage tables in a deployment)
-    val baseEdges = keep(verify(cappedCandidates(keyedB, maxBucket)))
+    val baseEdges = keep(verify(DeltaDedup.cappedPairs(keyedB, maxBucket)))
     val clustersB = keep(Clustering.clusters(spark,
-      baseEdges.select(key(col("id_a")).as("url_a"),
-        key(col("id_b")).as("url_b"), lit(true).as("is_match")),
-      keyedB.select(key(col("id")).as("url")).distinct()))
+      baseEdges.select(DeltaDedup.key(col("id_a")).as("url_a"),
+        DeltaDedup.key(col("id_b")).as("url_b"), lit(true).as("is_match")),
+      keyedB.select(DeltaDedup.key(col("id")).as("url")).distinct()))
 
-    // touched buckets + membership under old and new views
-    val touched = keyedD.select("bucket").distinct()
-    val oldT = keyedB.join(touched, Seq("bucket"), "left_semi")
-    val newT = keep(oldT.unionByName(keyedD))
-    val sizes = keep(newT.groupBy("bucket").agg(count(lit(1)).as("n_new"))
-      .join(oldT.groupBy("bucket").agg(count(lit(1)).as("n_old")),
-        Seq("bucket"), "left")
-      .select(col("bucket"), coalesce(col("n_old"), lit(0L)).as("n_old"),
-        col("n_new")))
-    val eligNew = sizes
-      .filter(col("n_new") > 1 && col("n_new") <= maxBucket).select("bucket")
-
-    // ADDED candidates: delta members × co-members in new-eligible buckets
-    val newTElig = newT.join(broadcast(eligNew), Seq("bucket"), "left_semi")
-    val addedCand = keep(newTElig.filter(isDelta)
-      .select(col("bucket"), col("id").as("id_d"))
-      .join(newTElig.select(col("bucket"), col("id").as("id_o")), Seq("bucket"))
-      .filter(col("id_d") =!= col("id_o"))
-      .select(least(col("id_d"), col("id_o")).as("id_a"),
-        greatest(col("id_d"), col("id_o")).as("id_b"))
-      .distinct())
-
-    // REMOVED candidates: the whole pair set of buckets that CROSSED the
-    // stop-key cap on insert, minus pairs another still-eligible bucket
-    // (untouched — full size recomputed only for the buckets involved — or
-    // touched-and-new-eligible) still generates
-    val crossed = sizes.filter(col("n_old") > 1 && col("n_old") <= maxBucket &&
-      col("n_new") > maxBucket).select("bucket")
-    val crossedMembers = oldT.join(broadcast(crossed), Seq("bucket"), "left_semi")
-    val removedCand0 = keep(crossedMembers.as("a").join(crossedMembers.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct())
-    val removedIds = removedCand0.select(col("id_a").as("id"))
-      .union(removedCand0.select(col("id_b").as("id"))).distinct()
-    val untouchedOfRemoved = keyedB.join(removedIds, Seq("id"), "left_semi")
-      .join(touched, Seq("bucket"), "left_anti")
-    val untouchedEligSizes = keyedB
-      .join(untouchedOfRemoved.select("bucket").distinct(),
-        Seq("bucket"), "left_semi")
-      .groupBy("bucket").agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1 && col("n") <= maxBucket)
-    val gen = untouchedOfRemoved
-      .join(untouchedEligSizes.select("bucket"), Seq("bucket"), "left_semi")
-      .select("bucket", "id")
-      .unionByName(newTElig.join(removedIds, Seq("id"), "left_semi")
-        .select("bucket", "id"))
-    val survivors = removedCand0
-      .join(gen.select(col("bucket"), col("id").as("id_a")), Seq("id_a"))
-      .join(gen.select(col("bucket"), col("id").as("id_b")),
-        Seq("id_b", "bucket"), "left_semi")
-      .select("id_a", "id_b").distinct()
-    val trueRemoved = removedCand0.join(survivors, Seq("id_a", "id_b"), "left_anti")
-
-    // edge flips: pair-intrinsic verification over immutable sets
-    val removedK = keep(baseEdges.join(trueRemoved, Seq("id_a", "id_b"), "left_semi")
-      .select(key(col("id_a")).as("url_a"), key(col("id_b")).as("url_b")))
-    val addedK = keep(verify(addedCand)
-      .join(baseEdges, Seq("id_a", "id_b"), "left_anti")
-      .select(key(col("id_a")).as("url_a"), key(col("id_b")).as("url_b")))
-
-    // dissolve components an edge flip touches; re-solve with delta nodes;
-    // everything else keeps its base label (same pattern as the ER attach)
-    val changedUrls = removedK.select(col("url_a").as("url"))
-      .union(removedK.select(col("url_b").as("url")))
-      .union(addedK.select(col("url_a").as("url")))
-      .union(addedK.select(col("url_b").as("url")))
-      .distinct()
-    val affectedLabels = keep(clustersB.join(changedUrls, Seq("url"), "left_semi")
-      .select("cluster_id").distinct())
-    val memberUrls = clustersB
-      .join(broadcast(affectedLabels), Seq("cluster_id"), "left_semi")
-      .select("url")
-    val subNodes = memberUrls
-      .union(keyedD.select(key(col("id")).as("url")).distinct()).distinct()
-    val memberEdges = baseEdges
-      .select(key(col("id_a")).as("url_a"), key(col("id_b")).as("url_b"))
-      .join(memberUrls.withColumnRenamed("url", "url_a"), Seq("url_a"), "left_semi")
-    val subEdges = memberEdges
-      .join(removedK, Seq("url_a", "url_b"), "left_anti")
-      .unionByName(addedK)
-      .withColumn("is_match", lit(true))
-    val resolved = Clustering.clusters(spark, subEdges, subNodes)
-    val finalAssign = clustersB
-      .join(broadcast(affectedLabels), Seq("cluster_id"), "left_anti")
-      .select("url", "cluster_id")
-      .unionByName(resolved.select("url", "cluster_id"))
-    keep(finalAssign.filter(col("url") =!= col("cluster_id"))
+    val att = DeltaDedup.attach(spark, keyedAll, baseEdges, clustersB,
+      verify, maxBucket)
+    att.assign.filter(col("url") =!= col("cluster_id"))
       .select(col("url").cast("long").as(idCol),
-        col("cluster_id").cast("long").as("dup_of")))
+        col("cluster_id").cast("long").as("dup_of"))
   }
 
   /** Portable 60-bit SimHash (Charikar bit-vote over whitespace tokens WITH

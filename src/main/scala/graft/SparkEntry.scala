@@ -331,6 +331,21 @@ object SparkEntry {
       graft.ops.Portable.nearDupMd5Incremental(s, t(s, d, "documents"),
         "doc_id", Dedup.charShingles(lower(col("text")), 5), threshold = 0.8)),
 
+    // g17: incremental near-dup DELETE, cross-engine proof row — the
+    // takedown half of the delta algebra. The Spark side dedups the WHOLE
+    // documents table as committed base state, then DETACHES a
+    // deterministic ~25% md5 slice (edges incident to deleted docs retract
+    // unconditionally; buckets dropping back under the stop-key cap
+    // re-generate their remaining pairs; only dissolved CC components
+    // re-solve). The oracle replays the FULL BATCH g02 SQL over the
+    // remaining ~75%: hash equality proves detach == from-scratch dedup of
+    // the post-delete corpus. Updates compose: detach ∘ attach
+    // (DedupIncrementalSpec). Bench overrides g17 to the production
+    // Dedup.minhashNearDupDetach of a 2% slice against the committed state.
+    "g17_incremental_neardup_delete" -> ((s, d) =>
+      graft.ops.Portable.nearDupMd5Detach(s, t(s, d, "documents"),
+        "doc_id", Dedup.charShingles(lower(col("text")), 5), threshold = 0.8)),
+
     "g03_docs_simhash_neardup" -> ((s, d) =>
       graft.ops.Portable.simhashNearDupMd5(s, t(s, d, "documents"))),
 
@@ -781,6 +796,19 @@ object SparkEntry {
       Dedup.minhashNearDupAttach(s, state, t(s, d, "documents"),
         t(s, d, "documents").filter(dedupIsDelta)).dups
     }),
+    // g17 bench: the PRODUCTION incremental DELETE against the same
+    // committed state as g16 — detaches a 2%-of-doc_ids slice OF THE BASE
+    // (hash bucket [2,4), disjoint from g16's delta bucket [0,2), so both
+    // overrides share one state build per session).
+    "g17_incremental_neardup_delete" -> ((s, d) => {
+      val state = Dedup.dedupStateFromDir(s, dedupStateDir(s, d))
+      val detachSlice = pmod(xxhash64(col("doc_id")), lit(100)) >= 2 &&
+        pmod(xxhash64(col("doc_id")), lit(100)) < 4
+      Dedup.minhashNearDupDetach(s, state,
+        t(s, d, "documents").filter(!dedupIsDelta && !detachSlice),
+        t(s, d, "documents").filter(!dedupIsDelta && detachSlice)
+          .select(col("doc_id"))).dups
+    }),
     // g15 bench: the PRODUCTION incremental attach (ops/Incremental.attach,
     // xxhash/ensemble path) of a 2%-of-urls delta against the committed
     // bench-scale base state — the operation a deployment runs when a crawl
@@ -1069,6 +1097,18 @@ object SparkEntry {
                 ELSE list_distinct(list_transform(range(1, length(lower(text)) - 3),
                        i -> substring(lower(text), i, 5))) END AS sh
          FROM documents)""", "0.8"),
+    // the incremental DELETE (g17) must equal the full batch over the
+    // post-delete corpus, so its oracle is the g02 SQL with the deleted md5
+    // slice filtered out of the sets CTE (same split predicate as the
+    // Spark side: first hex digit of md5(doc_id) in c..f)
+    "g17_incremental_neardup_delete" -> md5NearDupSql(
+      """sets AS (SELECT doc_id,
+           CASE WHEN length(lower(text)) < 5 THEN [lower(text)]
+                ELSE list_distinct(list_transform(range(1, length(lower(text)) - 3),
+                       i -> substring(lower(text), i, 5))) END AS sh
+         FROM documents
+         WHERE substring(md5(cast(doc_id AS varchar)), 1, 1) NOT IN ('c','d','e','f'))""",
+      "0.8"),
     "g04_docs_ngram_neardup" -> md5NearDupSql(
       """tk AS (SELECT doc_id,
            list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t

@@ -366,4 +366,35 @@ object Dedup {
       MinhashDedupState(state.keyed.unionByName(keyedD), mergedEdges, att.assign),
       att.removed)
   }
+
+  /** Incremental near-dup DETACH of a delete batch (takedown / right-to-be-
+    * forgotten) against a committed state — the corpus is never re-deduped.
+    * `remainingDocs` is the corpus AFTER the delete (verification hydrates
+    * shingle sets from it for stop-key re-entry candidates, semi-join-
+    * pruned; deleted texts are never needed). An UPDATE is
+    * minhashNearDupDetach of the old rows then minhashNearDupAttach of the
+    * new rows — DedupIncrementalSpec proves the composition equals a
+    * from-scratch batch. The merged state's band index is the committed
+    * index minus the deleted rows (an anti-join view here; an Iceberg
+    * deployment would write positional deletes instead —
+    * commitDedupState materializes it either way). */
+  def minhashNearDupDetach(spark: SparkSession, state: MinhashDedupState,
+      remainingDocs: DataFrame, deletedIds: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.8, maxBucket: Int = 256): DedupAttachResult = {
+    val delIds = deletedIds.select(col(idCol).as("id"))
+      .localCheckpoint(eager = true)
+    val att = DeltaDedup.detach(spark, state.keyed, delIds, state.edges,
+      state.assign, minhashVerify(remainingDocs, idCol, textCol, threshold),
+      maxBucket)
+    val mergedKeyed = state.keyed.join(delIds, Seq("id"), "left_anti")
+    val mergedEdges = state.edges
+      .join(att.removed, Seq("id_a", "id_b"), "left_anti")
+      .unionByName(att.added)
+    val dups = att.assign.filter(col("url") =!= col("cluster_id"))
+      .select(col("url").cast("long").as(idCol),
+        col("cluster_id").cast("long").as("dup_of"))
+    DedupAttachResult(dups,
+      MinhashDedupState(mergedKeyed, mergedEdges, att.assign), att.removed)
+  }
 }

@@ -179,4 +179,101 @@ object DeltaDedup {
       .unionByName(resolved.select("url", "cluster_id")))
     Attached(assign, removedL, addedL)
   }
+
+  /** Detach a delete batch from a committed dedup state: produce the cluster
+    * assignment the FULL BATCH dedup would produce over base ∖ deleted —
+    * the takedown/right-to-be-forgotten half of the delta algebra (an
+    * update is detach ∘ attach; DedupIncrementalSpec proves the
+    * composition). Deletes are SIMPLER than inserts because buckets only
+    * SHRINK (n_new <= n_old):
+    *  - removed edges: every base edge incident to a deleted id,
+    *    unconditionally — the doc is gone regardless of which buckets
+    *    generated the pair; a remaining-remaining pair can never lose a
+    *    generator (no bucket crosses the cap upward, and an
+    *    eligible → ineligible bucket has at most ONE remaining member, so
+    *    it held no remaining-remaining pair);
+    *  - added candidates: buckets that DROP back under the stop-key cap
+    *    (n_old > maxBucket, 1 < n_new <= maxBucket) newly generate ALL
+    *    remaining-member pairs — verified pair-intrinsically, minus edges
+    *    the base already had;
+    *  - CC: components touched by an edge flip or containing a deleted
+    *    node are dissolved and re-solved WITHOUT the deleted nodes;
+    *    everything else keeps its base label verbatim.
+    *
+    * @param baseKeyed   committed (id, bucket) band index of the base.
+    * @param deletedIds  (id) docs to remove; must be ⊆ base ids.
+    * @param verify      as in attach; only ever called on remaining ids.
+    */
+  def detach(spark: SparkSession, baseKeyed: DataFrame, deletedIds: DataFrame,
+      baseEdges: DataFrame, baseAssign: DataFrame,
+      verify: DataFrame => DataFrame, maxBucket: Int): Attached = {
+    def keep(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+    val delIds = keep(deletedIds.select("id"))
+
+    // touched buckets + membership before and after the delete
+    val touched = baseKeyed.join(delIds, Seq("id"), "left_semi")
+      .select("bucket").distinct()
+    val oldT = baseKeyed.join(touched, Seq("bucket"), "left_semi")
+    val newT = keep(oldT.join(delIds, Seq("id"), "left_anti"))
+    val sizes = keep(oldT.groupBy("bucket").agg(count(lit(1)).as("n_old"))
+      .join(newT.groupBy("bucket").agg(count(lit(1)).as("n_new")),
+        Seq("bucket"), "left")
+      .select(col("bucket"), col("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new")))
+
+    // removed edges: incident to a deleted id (see scaladoc for why this is
+    // the COMPLETE removal set under deletes)
+    val removedL = keep(baseEdges
+      .join(delIds.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_semi")
+      .unionByName(baseEdges
+        .join(delIds.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi")
+        .select("id_a", "id_b"))
+      .distinct())
+
+    // ADDED candidates: stop-key re-entry — remaining pairs of buckets that
+    // dropped back under the cap
+    val reentered = sizes.filter(col("n_old") > maxBucket &&
+      col("n_new") > 1 && col("n_new") <= maxBucket).select("bucket")
+    val reMembers = newT.join(broadcast(reentered), Seq("bucket"), "left_semi")
+    val addedCand = keep(reMembers.as("a").join(reMembers.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct())
+    val addedL = keep(verify(addedCand)
+      .join(baseEdges, Seq("id_a", "id_b"), "left_anti"))
+
+    val removedK = removedL.select(key(col("id_a")).as("url_a"),
+      key(col("id_b")).as("url_b"))
+    val addedK = addedL.select(key(col("id_a")).as("url_a"),
+      key(col("id_b")).as("url_b"))
+    val delUrls = delIds.select(key(col("id")).as("url"))
+
+    // dissolve components touched by an edge flip or holding a deleted node;
+    // re-solve without the deleted nodes; keep every other label verbatim
+    val changedUrls = removedK.select(col("url_a").as("url"))
+      .union(removedK.select(col("url_b").as("url")))
+      .union(addedK.select(col("url_a").as("url")))
+      .union(addedK.select(col("url_b").as("url")))
+      .union(delUrls)
+      .distinct()
+    val affectedLabels = keep(baseAssign.join(changedUrls, Seq("url"), "left_semi")
+      .select("cluster_id").distinct())
+    val memberUrls = baseAssign
+      .join(broadcast(affectedLabels), Seq("cluster_id"), "left_semi")
+      .select("url")
+    val subNodes = memberUrls.join(delUrls, Seq("url"), "left_anti")
+    val memberEdges = baseEdges
+      .select(key(col("id_a")).as("url_a"), key(col("id_b")).as("url_b"))
+      .join(memberUrls.withColumnRenamed("url", "url_a"), Seq("url_a"), "left_semi")
+    val subEdges = memberEdges
+      .join(removedK, Seq("url_a", "url_b"), "left_anti")
+      .unionByName(addedK)
+      .withColumn("is_match", lit(true))
+    val resolved = Clustering.clusters(spark, subEdges, subNodes)
+    val assign = keep(baseAssign
+      .join(broadcast(affectedLabels), Seq("cluster_id"), "left_anti")
+      .select("url", "cluster_id")
+      .unionByName(resolved.select("url", "cluster_id")))
+    Attached(assign, removedL, addedL)
+  }
 }

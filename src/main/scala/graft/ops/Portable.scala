@@ -138,6 +138,43 @@ object Portable {
         col("cluster_id").cast("long").as("dup_of"))
   }
 
+  /** DELETE form of the md5 near-dup twin (cross-engine proof row g17 —
+    * the takedown half of the delta algebra): dedups the WHOLE documents
+    * table as the committed base, then DETACHES a deterministic ~25% md5
+    * slice via DeltaDedup.detach. The DuckDB oracle replays the full-batch
+    * g02 SQL over the REMAINING ~75% only: hash equality proves the detach
+    * equals a from-scratch dedup of the post-delete corpus. */
+  def nearDupMd5Detach(spark: SparkSession, docs: DataFrame, idCol: String,
+      setCol: Column, threshold: Double, numHashes: Int = 16, bands: Int = 8,
+      rows: Int = 2, maxBucket: Int = 256): DataFrame = {
+    def keep(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+    val isDeleted = substring(md5(col("id").cast("string")), 1, 1)
+      .isin("c", "d", "e", "f")
+    val sets = keep(docs.select(col(idCol).as("id"), setCol.as("sh")))
+    val keyedAll = keep(sets.select(col("id"),
+      explode(bandBuckets(md5MinhashSig(col("sh"), numHashes), bands, rows))
+        .as("bucket")))
+    def verify(cands: DataFrame) = cands
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(setJaccard(col("sh_a"), col("sh_b")) >= threshold)
+      .select("id_a", "id_b")
+
+    // committed base state over the FULL table
+    val baseEdges = keep(verify(DeltaDedup.cappedPairs(keyedAll, maxBucket)))
+    val clustersB = keep(Clustering.clusters(spark,
+      baseEdges.select(DeltaDedup.key(col("id_a")).as("url_a"),
+        DeltaDedup.key(col("id_b")).as("url_b"), lit(true).as("is_match")),
+      keyedAll.select(DeltaDedup.key(col("id")).as("url")).distinct()))
+
+    val att = DeltaDedup.detach(spark, keyedAll,
+      sets.filter(isDeleted).select("id"), baseEdges, clustersB,
+      verify, maxBucket)
+    att.assign.filter(col("url") =!= col("cluster_id"))
+      .select(col("url").cast("long").as(idCol),
+        col("cluster_id").cast("long").as("dup_of"))
+  }
+
   /** Portable 60-bit SimHash (Charikar bit-vote over whitespace tokens WITH
     * multiplicity, matching expr.SimHash's per-occurrence votes and strict
     * `> 0` majority): token hash = first 15 hex chars of md5 (60 bits — fits

@@ -69,6 +69,68 @@ class DedupIncrementalSpec extends SparkSpec {
       maxBucket = 3))
   }
 
+  test("detach == batch over the remaining corpus on sf0.01 (25% delete)") {
+    assume(Files.exists(java.nio.file.Paths.get(s"$sfDir/documents.parquet")))
+    val all = docs()
+    val isDeleted = pmod(xxhash64(col("doc_id")), lit(4)) === 0
+    val state = Dedup.minhashDedupState(spark, all)
+    val res = Dedup.minhashNearDupDetach(spark, state, all.filter(!isDeleted),
+      all.filter(isDeleted).select("doc_id"))
+    dupSet(res.dups) shouldBe
+      dupSet(Dedup.minhashNearDup(spark, all.filter(!isDeleted)))
+    // merged state must equal a from-scratch build over the remaining corpus
+    val batchState = Dedup.minhashDedupState(spark, all.filter(!isDeleted))
+    edgeSet(res.state.edges) shouldBe edgeSet(batchState.edges)
+  }
+
+  test("stop-key re-entry: deleting below the cap regenerates the bucket's pairs") {
+    // base: 5 byte-identical docs at maxBucket=3 — every shared bucket is
+    // over-cap (5 > 3), so the batch generates NO pairs and the clones are
+    // singletons. delete 2 clones -> every bucket drops to 3 (eligible):
+    // detach must ADD all 3 remaining pairs and cluster the remaining
+    // clones, exactly what the from-scratch batch over the remaining corpus
+    // produces.
+    val clone = ("graft dedup cap reentry corpus " * 8).trim
+    val base = Seq(
+      (1L, clone), (2L, clone), (3L, clone), (4L, clone), (5L, clone),
+      (10L, "completely unrelated text about partition pruning in parquet"))
+      .toDF("doc_id", "text")
+    val state = Dedup.minhashDedupState(spark, base, maxBucket = 3)
+    // sanity: over-cap buckets generated nothing in the base
+    dupSet(state.assign.filter(col("url") =!= col("cluster_id"))
+      .select(col("url").cast("long").as("doc_id"),
+        col("cluster_id").cast("long").as("dup_of"))) shouldBe Set.empty
+    val remaining = base.filter(col("doc_id") < 4 || col("doc_id") === 10L)
+    val res = Dedup.minhashNearDupDetach(spark, state, remaining,
+      Seq(4L, 5L).toDF("doc_id"), maxBucket = 3)
+    res.removedPairCount() shouldBe 0L
+    dupSet(res.dups) shouldBe Set((2L, 1L), (3L, 1L))
+    dupSet(res.dups) shouldBe dupSet(Dedup.minhashNearDup(spark, remaining,
+      maxBucket = 3))
+  }
+
+  test("update = detach ∘ attach through a committed state == one batch") {
+    assume(Files.exists(java.nio.file.Paths.get(s"$sfDir/documents.parquet")))
+    val all = docs()
+    // update 20% of docs: new text = old text reversed (changes shingles)
+    val isUpdated = pmod(xxhash64(col("doc_id")), lit(5)) === 0
+    val updated = all.withColumn("text",
+      when(isUpdated, reverse(col("text"))).otherwise(col("text")))
+    val dir = Files.createTempDirectory("graft-dedupupdate").toString
+    try {
+      val s0 = Dedup.minhashDedupState(spark, all)
+      // detach the old rows, commit, attach the new rows
+      val r1 = Dedup.minhashNearDupDetach(spark, s0, all.filter(!isUpdated),
+        all.filter(isUpdated).select("doc_id"))
+      Dedup.commitDedupState(r1.state, dir)
+      val r2 = Dedup.minhashNearDupAttach(spark,
+        Dedup.dedupStateFromDir(spark, dir), updated,
+        updated.filter(isUpdated))
+      dupSet(r2.dups) shouldBe dupSet(Dedup.minhashNearDup(spark, updated))
+    } finally
+      scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
   test("composition: attach ∘ attach through a committed state == one batch") {
     assume(Files.exists(java.nio.file.Paths.get(s"$sfDir/documents.parquet")))
     val all = docs()

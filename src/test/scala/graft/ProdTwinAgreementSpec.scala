@@ -56,4 +56,21 @@ class ProdTwinAgreementSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     incr shouldBe batch
   }
+
+  test("g17: detach twin == full-batch twin over the remaining corpus") {
+    // the g17 contract: detaching the deterministic ~25% md5 slice from the
+    // full-table base state reproduces a from-scratch dedup of the
+    // remaining ~75% exactly (the DuckDB oracle replays the batch SQL over
+    // the filtered corpus; this is the engine-side pin)
+    val remaining = docs().filter(
+      !substring(md5(col("doc_id").cast("string")), 1, 1)
+        .isin("c", "d", "e", "f"))
+    val batch = Portable.nearDupMd5(spark, remaining, "doc_id",
+        Dedup.charShingles(lower(col("text")), 5), threshold = 0.8)
+      .as[(Long, Long)].collect().toSet
+    val det = Portable.nearDupMd5Detach(spark, docs(), "doc_id",
+        Dedup.charShingles(lower(col("text")), 5), threshold = 0.8)
+      .as[(Long, Long)].collect().toSet
+    det shouldBe batch
+  }
 }

@@ -591,6 +591,18 @@ object SparkEntry {
         .withColumn("canon", graft.ops.Extract.canonicalUrl(col("url")))
     }),
 
+    // ---- Decontamination (training-data hygiene): flag training docs
+    // sharing a word n-gram with the deterministic doc_id%50 "benchmark"
+    // slice. n=4 because the synthetic vocabulary is tiny (real corpora use
+    // 8..13); the n-gram expression is the g04-proven wordNgramSet. Eval
+    // n-grams broadcast; the training side is scan+explode+hash-agg. ----
+    "q36_decontamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val isEval = pmod(col("doc_id"), lit(50)) === 0
+      graft.ops.TextOps.decontaminate(
+        docs.filter(!isEval), docs.filter(isEval), n = 4)
+    }),
+
     // embedding-cosine near-dup: the query runs the portable axis-sign-bucket
     // twin over the embeddings table (threshold 0.4 — isotropic noise, so
     // near-dup means "unusually close", ~7 pairs at sf0.01), hash-checked
@@ -1050,6 +1062,20 @@ object SparkEntry {
                   IN ('0','1','2','3','4','5') THEN 'valid'
                 ELSE 'test' END AS split
          FROM documents""",
+    "q36_decontamination" ->
+      """WITH tk AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+         FROM documents),
+         ng AS (SELECT doc_id, unnest(
+           CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(t) - 2),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) END) AS ng
+         FROM tk),
+         ev AS (SELECT doc_id AS eval_id, ng FROM ng WHERE doc_id % 50 = 0),
+         tr AS (SELECT doc_id, ng FROM ng WHERE doc_id % 50 <> 0)
+         SELECT tr.doc_id, count(DISTINCT ev.eval_id) AS n_eval_docs,
+                count(DISTINCT tr.ng) AS n_shared_ngrams
+         FROM tr JOIN ev USING (ng) GROUP BY tr.doc_id""",
     "q35_url_canonical" ->
       """WITH u AS (SELECT doc_id,
            CASE doc_id % 6

@@ -103,4 +103,31 @@ object TextOps {
   def withFingerprintMd5(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("fingerprint",
       md5(regexp_replace(lower(col(textCol)), "\\s+", " ").cast("binary")))
+
+  /** Decontamination: per training doc, how many evaluation/benchmark docs
+    * share at least one word n-gram with it and how many distinct n-grams
+    * leak (the standard pre-training hygiene pass — drop or down-weight
+    * contaminated docs before the eval set's answers leak into training).
+    * Word n-grams via Portable.wordNgramSet (whitespace tokens, short docs
+    * collapse to one whole-doc gram) — the expression is cross-engine-
+    * pinned by the g04 and q36 oracle rows. Deployments use n in 8..13;
+    * the synthetic corpus' tiny vocabulary makes n=4 comparably selective.
+    *
+    * Scale shape: the eval set is tiny relative to a 10^12-doc corpus, so
+    * its exploded n-gram table is BROADCAST and the training side is one
+    * scan + explode + hash-agg — no corpus-sized shuffle. For an eval set
+    * too big to broadcast, drop the hint and the same plan shuffles on the
+    * n-gram key. */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 8): DataFrame = {
+    val evalNg = evalDocs.select(col(idCol).as("eval_id"),
+      explode(Portable.wordNgramSet(col(textCol), n)).as("ng"))
+    val trainNg = train.select(col(idCol),
+      explode(Portable.wordNgramSet(col(textCol), n)).as("ng"))
+    trainNg.join(broadcast(evalNg), "ng")
+      .groupBy(idCol)
+      .agg(countDistinct("eval_id").as("n_eval_docs"),
+        countDistinct("ng").as("n_shared_ngrams"))
+  }
 }

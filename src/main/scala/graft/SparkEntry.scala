@@ -307,6 +307,20 @@ object SparkEntry {
         Synth.pages(s, p).toDF(), Synth.dict(s, p).toDF())
     }),
 
+    // g18: incremental ER DELETE, cross-engine proof row — the takedown
+    // half of the ER delta algebra. The twin resolves the WHOLE fixture as
+    // committed base, then DETACHES a deterministic ~25% md5 url slice
+    // (DeltaDedup.detach over the twin's dict+LSH bucket table). The oracle
+    // replays the g01 FULL BATCH SQL over the remaining urls only: hash
+    // equality proves detach == from-scratch over the post-delete corpus.
+    // Production path: ops/Incremental.detach (tombstone-attach + s0
+    // erasure), pinned by IncrementalSpec; Bench overrides g18 to it.
+    "g18_incremental_er_delete" -> ((s, _) => {
+      val p = FlagshipParams
+      graft.ops.Portable.erClustersPortableDetach(s,
+        Synth.pages(s, p).toDF(), Synth.dict(s, p).toDF())
+    }),
+
     // Near-dup family (g02/g03/g04/g11): the queries run the ORACLE-PORTABLE
     // twins (ops/Portable.scala — md5 hash family, identical capped
     // candidates → exact verify → CC dataflow) so the driver's DuckDB can
@@ -836,6 +850,21 @@ object SparkEntry {
         Synth.dict(s, incrParams).toDF(),
         PipelineConfig(checkpointDir = s"$dir/base", runId = "incr_attach",
           keepBlockOverflow = true)).clusters
+    }),
+    // g18 bench: the PRODUCTION incremental ER DELETE (Incremental.detach)
+    // of a 2%-of-urls takedown batch against the SAME committed base state
+    // g15 attaches to (hash bucket [2,4) of the base's urls, disjoint from
+    // g15's delta bucket [0,2), so both overrides share one base build).
+    "g18_incremental_er_delete" -> ((s, _) => {
+      val dir = incrBaseDir(s)
+      val base = Incremental.stateFromCheckpoint(s, s"$dir/base")
+      val slice = pmod(xxhash64(col("url")), lit(100)) >= 2 &&
+        pmod(xxhash64(col("url")), lit(100)) < 4
+      Incremental.detach(s, base,
+        base.pages.filter(slice).select("url").distinct(),
+        Synth.dict(s, incrParams).toDF(),
+        PipelineConfig(checkpointDir = s"$dir/base", runId = "incr_detach",
+          keepBlockOverflow = true)).clusters
     }))
 
   /** Shared oracle-SQL fragments for the portable near-dup family: md5
@@ -875,9 +904,16 @@ object SparkEntry {
   /** Full-batch portable-twin replay over the flagship fixture: the
     * oracle for BOTH g01 (batch twin) and g15 (incremental twin — the
     * attach algebra must reproduce the batch result exactly). */
-  private lazy val erTwinFullBatchSql: String =
+  /** g18's oracle is the SAME full-batch replay restricted to the urls that
+    * survive the delete — the detach twin must reproduce it exactly. */
+  private lazy val erTwinDetachSql: String = erTwinBatchSql(
+    " WHERE substring(md5(url), 1, 1) NOT IN ('c','d','e','f')")
+
+  private lazy val erTwinFullBatchSql: String = erTwinBatchSql("")
+
+  private def erTwinBatchSql(pagesWhere: String): String =
       s"""WITH RECURSIVE pages AS (
-           SELECT * FROM read_parquet('__FIXTURE_DIR__/pages.parquet/*.parquet')),
+           SELECT * FROM read_parquet('__FIXTURE_DIR__/pages.parquet/*.parquet')$pagesWhere),
          dict AS (SELECT * FROM read_parquet('__FIXTURE_DIR__/dict.parquet/*.parquet')),
          ok AS (
            SELECT url, text FROM (
@@ -932,6 +968,7 @@ object SparkEntry {
     // the incremental attach (g15) must equal the full batch over the
     // same fixture, so its oracle replay is the SAME full-batch twin SQL
     "g15_incremental_er" -> erTwinFullBatchSql,
+    "g18_incremental_er_delete" -> erTwinDetachSql,
     "q32_pairwise_f1" ->
       """WITH ev AS (SELECT user_id, event_id, value,
            try_cast(json_extract_string(props, '$.k') as int) AS k FROM events),

@@ -76,10 +76,14 @@ object DeltaDedup {
     *                    intrinsic over immutable per-doc sets. MUST apply
     *                    the same similarity + threshold the batch used.
     * @param maxBucket   the batch family's stop-key cap.
+    * @param keyFn       id → CC node key. The default zero-pads numeric ids
+    *                    so string order equals numeric order; callers whose
+    *                    ids are already totally-ordered strings (the ER
+    *                    twin's urls) pass identity.
     */
   def attach(spark: SparkSession, keyedAll: DataFrame, baseEdges: DataFrame,
       baseAssign: DataFrame, verify: DataFrame => DataFrame,
-      maxBucket: Int): Attached = {
+      maxBucket: Int, keyFn: Column => Column = key): Attached = {
     // eager plan-cut leaves, not persist(): each keep() below roots several
     // downstream self-referencing branches, and without a LOGICAL-plan cut
     // the diff algebra's analyzed plan grows exponentially (persist() caches
@@ -146,10 +150,10 @@ object DeltaDedup {
     val removedL = keep(baseEdges.join(trueRemoved, Seq("id_a", "id_b"), "left_semi"))
     val addedL = keep(verify(addedCand)
       .join(baseEdges, Seq("id_a", "id_b"), "left_anti"))
-    val removedK = removedL.select(key(col("id_a")).as("url_a"),
-      key(col("id_b")).as("url_b"))
-    val addedK = addedL.select(key(col("id_a")).as("url_a"),
-      key(col("id_b")).as("url_b"))
+    val removedK = removedL.select(keyFn(col("id_a")).as("url_a"),
+      keyFn(col("id_b")).as("url_b"))
+    val addedK = addedL.select(keyFn(col("id_a")).as("url_a"),
+      keyFn(col("id_b")).as("url_b"))
 
     // dissolve components an edge flip touches; re-solve with delta nodes;
     // everything else keeps its base label (same pattern as the ER attach)
@@ -164,9 +168,9 @@ object DeltaDedup {
       .join(broadcast(affectedLabels), Seq("cluster_id"), "left_semi")
       .select("url")
     val subNodes = memberUrls
-      .union(keyedD.select(key(col("id")).as("url")).distinct()).distinct()
+      .union(keyedD.select(keyFn(col("id")).as("url")).distinct()).distinct()
     val memberEdges = baseEdges
-      .select(key(col("id_a")).as("url_a"), key(col("id_b")).as("url_b"))
+      .select(keyFn(col("id_a")).as("url_a"), keyFn(col("id_b")).as("url_b"))
       .join(memberUrls.withColumnRenamed("url", "url_a"), Seq("url_a"), "left_semi")
     val subEdges = memberEdges
       .join(removedK, Seq("url_a", "url_b"), "left_anti")
@@ -206,7 +210,8 @@ object DeltaDedup {
     */
   def detach(spark: SparkSession, baseKeyed: DataFrame, deletedIds: DataFrame,
       baseEdges: DataFrame, baseAssign: DataFrame,
-      verify: DataFrame => DataFrame, maxBucket: Int): Attached = {
+      verify: DataFrame => DataFrame, maxBucket: Int,
+      keyFn: Column => Column = key): Attached = {
     def keep(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
     val delIds = keep(deletedIds.select("id"))
 
@@ -242,11 +247,11 @@ object DeltaDedup {
     val addedL = keep(verify(addedCand)
       .join(baseEdges, Seq("id_a", "id_b"), "left_anti"))
 
-    val removedK = removedL.select(key(col("id_a")).as("url_a"),
-      key(col("id_b")).as("url_b"))
-    val addedK = addedL.select(key(col("id_a")).as("url_a"),
-      key(col("id_b")).as("url_b"))
-    val delUrls = delIds.select(key(col("id")).as("url"))
+    val removedK = removedL.select(keyFn(col("id_a")).as("url_a"),
+      keyFn(col("id_b")).as("url_b"))
+    val addedK = addedL.select(keyFn(col("id_a")).as("url_a"),
+      keyFn(col("id_b")).as("url_b"))
+    val delUrls = delIds.select(keyFn(col("id")).as("url"))
 
     // dissolve components touched by an edge flip or holding a deleted node;
     // re-solve without the deleted nodes; keep every other label verbatim
@@ -263,7 +268,7 @@ object DeltaDedup {
       .select("url")
     val subNodes = memberUrls.join(delUrls, Seq("url"), "left_anti")
     val memberEdges = baseEdges
-      .select(key(col("id_a")).as("url_a"), key(col("id_b")).as("url_b"))
+      .select(keyFn(col("id_a")).as("url_a"), keyFn(col("id_b")).as("url_b"))
       .join(memberUrls.withColumnRenamed("url", "url_a"), Seq("url_a"), "left_semi")
     val subEdges = memberEdges
       .join(removedK, Seq("url_a", "url_b"), "left_anti")

@@ -444,6 +444,37 @@ object Incremental {
       dirtyUrls, touchedKeys, rescored, changedEdges, affectedLabels)
   }
 
+  /** Incrementally DELETE urls from a committed base (takedown / right-to-
+    * be-forgotten): produce the stage tables a full batch run over
+    * base ∖ deleted would produce, without re-running the corpus.
+    *
+    * A url delete is expressed as a TOMBSTONE snapshot attach — a far-future
+    * non-`en` snapshot per deleted url makes the url's merged winner invalid
+    * (the exact "validity flip" case attach already maintains: its mentions
+    * leave every block they were in, incident pairs evict, touched blocks
+    * re-cap — including cap re-entry from s2_overflow — and its components
+    * dissolve and re-solve without it), so the ENTIRE proven attach algebra
+    * carries the delete; the only residue is the tombstone row in the merged
+    * s0 view, which this wrapper drops for true erasure (the url, html and
+    * text appear in NO committed table afterwards). IncrementalSpec pins
+    * detach == a full batch over the remaining pages, stage tables included.
+    *
+    * `deletedUrls` is one `url` column of CANONICAL urls (as committed in
+    * the base state); urls absent from the base are no-ops. */
+  def detach(spark: SparkSession, base: BaseState, deletedUrls: DataFrame,
+      dict: DataFrame, cfg: PipelineConfig,
+      verbose: Boolean = false): AttachResult = {
+    val tombstones = deletedUrls.select(
+      col("url"),
+      lit(java.sql.Timestamp.valueOf("9999-01-01 00:00:00")).as("warc_ts"),
+      lit(Array.emptyByteArray).as("html"),
+      lit("").as("text"),
+      lit("xx").as("lang"))
+    val res = attach(spark, base, tombstones, dict, cfg, verbose)
+    res.copy(
+      pages = res.pages.join(deletedUrls.select("url"), Seq("url"), "left_anti"))
+  }
+
   /** Write the merged stage views as a NEW base checkpoint (must be a fresh
     * directory — the views read the OLD base's parquet lazily, so writing
     * over it would corrupt the read). After this, `stateFromCheckpoint(dir)`

@@ -26,12 +26,22 @@ object Portable {
 
   /** Distinct word n-gram set (lowercased whitespace tokens; short docs fall
     * back to the whole token string, so every doc has a non-empty set). */
-  def wordNgramSet(text: Column, n: Int): Column = {
-    val tk = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+  def wordNgramSet(text: Column, n: Int): Column =
+    wordNgramsFromTokens(filter(split(lower(text), "\\s+"),
+      t => length(t) > 0), n)
+
+  /** Same n-gram set over an ALREADY-MATERIALIZED token-array column.
+    * Compose wordNgramSet only where the consumer evaluates it once per row
+    * (e.g. into a persisted set table, as nearDupMd5 does); anywhere the
+    * n-gram array is consumed element-wise, project the token array FIRST
+    * and call this on the attribute — expression trees cannot let-bind, so
+    * the naive composition re-evaluates the split+filter tokenizer inside
+    * every lambda element (measured: 21s for 5k sf0.1 docs in q36's
+    * explode; 0.6s with the token array projected). */
+  def wordNgramsFromTokens(tk: Column, n: Int): Column =
     when(size(tk) < n, array(array_join(tk, " "))).otherwise(
-      array_distinct(transform(sequence(lit(0), size(tk) - n), i =>
-        concat_ws(" ", (0 until n).map(j => get(tk, i + j)): _*))))
-  }
+      array_distinct(transform(sequence(lit(1), size(tk) - n + 1), i =>
+        array_join(slice(tk, i, lit(n)), " "))))
 
   /** md5 minhash signature over an element-set column: sig[h] =
     * min over elements of md5(element ":" h) — min over lowercase-hex
@@ -318,6 +328,39 @@ object Portable {
       .join(toks.select(col("url").as("id_b"), col("tk").as("tk_b")), "id_b")
       .filter(size(array_intersect(col("tk_a"), col("tk_b"))) >= minShared)
       .select("id_a", "id_b")
+
+  /** DELETE form of the portable ER twin (cross-engine proof row g18 — the
+    * takedown half of the ER delta algebra): the FULL fixture is the
+    * committed base; a deterministic ~25% md5 url slice is detached via
+    * DeltaDedup.detach instantiated with the twin's combined dict+LSH
+    * bucket table and its pair-intrinsic token-overlap verifier (urls pass
+    * keyFn=identity — they are already totally-ordered CC keys). The DuckDB
+    * oracle replays the g01 FULL-BATCH SQL over the REMAINING urls only:
+    * hash equality proves detach == a from-scratch run of the post-delete
+    * corpus. Output shape matches g01 (cluster_id, cluster_size). */
+  def erClustersPortableDetach(spark: SparkSession, pages: DataFrame,
+      dict: DataFrame, maxBlock: Int = 256, minShared: Int = 3): DataFrame = {
+    def keep(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+    val isDeleted = substring(md5(col("url")), 1, 1).isin("c", "d", "e", "f")
+    val ok = keep(portableOk(pages))
+    val blk = keep(portableBuckets(portableMen(ok), dict))
+    val toks = keep(portableToks(ok))
+    def verify(cands: DataFrame) = portableVerify(cands, toks, minShared)
+
+    // committed base state over the FULL fixture
+    val edgesB = keep(verify(cappedCandidates(blk, maxBlock)))
+    val clustersB = keep(Clustering.clusters(spark,
+      edgesB.select(col("id_a").as("url_a"), col("id_b").as("url_b"),
+        lit(true).as("is_match")),
+      ok.select("url")))
+
+    val att = DeltaDedup.detach(spark, blk,
+      ok.filter(isDeleted).select(col("url").as("id")),
+      edgesB, clustersB, verify, maxBlock, keyFn = identity)
+    keep(att.assign.filter(col("url") =!= col("cluster_id"))
+      .groupBy("cluster_id")
+      .agg((count(lit(1)) + lit(1)).as("cluster_size")))
+  }
 
   /** INCREMENTAL form of the portable ER twin (the cross-engine proof row
     * for ops/Incremental's delta-maintenance algebra, g15): splits the

@@ -121,10 +121,16 @@ object TextOps {
   def decontaminate(train: DataFrame, evalDocs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 8): DataFrame = {
-    val evalNg = evalDocs.select(col(idCol).as("eval_id"),
-      explode(Portable.wordNgramSet(col(textCol), n)).as("ng"))
-    val trainNg = train.select(col(idCol),
-      explode(Portable.wordNgramSet(col(textCol), n)).as("ng"))
+    // token array projected FIRST, n-grams built from the attribute — the
+    // one-select composition re-evaluates the tokenizer inside every lambda
+    // element (see Portable.wordNgramsFromTokens)
+    def ngrams(df: DataFrame, id: Column) = df
+      .select(id.as("__id"),
+        filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0).as("__tk"))
+      .select(col("__id"),
+        explode(Portable.wordNgramsFromTokens(col("__tk"), n)).as("ng"))
+    val evalNg = ngrams(evalDocs, col(idCol)).withColumnRenamed("__id", "eval_id")
+    val trainNg = ngrams(train, col(idCol)).withColumnRenamed("__id", idCol)
     trainNg.join(broadcast(evalNg), "ng")
       .groupBy(idCol)
       .agg(countDistinct("eval_id").as("n_eval_docs"),

@@ -231,4 +231,37 @@ class IncrementalSpec extends SparkSpec {
     res.rescored.count() shouldBe 0L
     clusterSet(res.clusters) shouldBe clusterSet(base.clusters)
   }
+
+  test("detach == full recompute over the remaining pages, with true erasure") {
+    val p = SynthParams(nPages = 900, nEntities = 90)
+    val all = Synth.pages(spark, p).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dict = Synth.dict(spark, p).toDF()
+    val isDeleted = pmod(xxhash64(col("url")), lit(5)) === 0
+
+    val baseCfg = PipelineConfig(checkpointDir = freshDir(), runId = "base",
+      keepBlockOverflow = true)
+    Pipeline.run(spark, all, dict, baseCfg)
+    val base = Incremental.stateFromCheckpoint(spark, baseCfg.checkpointDir)
+    val deleted = all.filter(isDeleted).select("url").distinct()
+      .localCheckpoint(true)
+    val res = Incremental.detach(spark, base, deleted, dict, baseCfg)
+
+    val fullCfg = PipelineConfig(checkpointDir = freshDir(), runId = "full")
+    val full = Pipeline.run(spark, all.filter(!isDeleted), dict, fullCfg)
+
+    clusterSet(res.clusters) shouldBe clusterSet(full.clusters)
+    edgeSet(res.scored) shouldBe edgeSet(full.scored)
+    // true erasure: no committed table retains the deleted urls
+    res.pages.join(deleted, Seq("url"), "left_semi").count() shouldBe 0L
+    res.mentions.join(deleted, Seq("url"), "left_semi").count() shouldBe 0L
+    res.clusters.join(deleted, Seq("url"), "left_semi").count() shouldBe 0L
+    // merged s0 equals the batch winner set byte-for-byte
+    res.pages.select(col("url"), xxhash64(col("html")).as("h"))
+      .as[(String, Long)].collect().toSet shouldBe
+      full.pages.select(col("url"), xxhash64(col("html")).as("h"))
+        .as[(String, Long)].collect().toSet
+    all.unpersist()
+    ()
+  }
 }

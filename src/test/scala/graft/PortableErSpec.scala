@@ -70,4 +70,17 @@ class PortableErSpec extends SparkSpec {
     pages.filter(isDelta).select("url").distinct().count() should be > 50L
     incr shouldBe batch
   }
+
+  test("detach portable twin equals the full-batch twin of the remainder (g18 contract)") {
+    val p = SparkEntry.FlagshipParams
+    val pages = Synth.pages(spark, p).toDF()
+    val dict = Synth.dict(spark, p).toDF()
+    val isDeleted = substring(md5(col("url")), 1, 1).isin("c", "d", "e", "f")
+    val batch = Portable.erClustersPortable(spark, pages.filter(!isDeleted), dict)
+      .as[(String, Long)].collect().sortBy(_._1)
+    val det = Portable.erClustersPortableDetach(spark, pages, dict)
+      .as[(String, Long)].collect().sortBy(_._1)
+    pages.filter(isDeleted).select("url").distinct().count() should be > 50L
+    det shouldBe batch
+  }
 }

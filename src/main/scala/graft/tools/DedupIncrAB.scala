@@ -80,6 +80,25 @@ object DedupIncrAB {
       println(f"DEDUP-INCR-AB rep=$rep full=$wallFull%.1f s attach=$wallAttach%.1f s " +
         f"speedup=${wallFull / wallAttach}%.2fx dups_full=$nFull dups_attach=$nAttach " +
         s"equal=${nFull == nAttach} loadavg=[$load]")
+
+      // C: takedown — detach a 2%-of-BASE slice from the committed state vs
+      // a full from-scratch re-dedup of the remaining corpus
+      val isDetached = pmod(xxhash64(col("doc_id")), lit(100)) >= deltaPct &&
+        pmod(xxhash64(col("doc_id")), lit(100)) < 2 * deltaPct
+      val remaining = all.filter(!isDelta && !isDetached)
+      val tFr0 = System.nanoTime()
+      val nFullR = Dedup.minhashNearDup(spark, remaining).count()
+      val wallFullR = (System.nanoTime() - tFr0) / 1e9
+      val state2 = Dedup.dedupStateFromDir(spark, s"$root/state")
+      val tD0 = System.nanoTime()
+      val det = Dedup.minhashNearDupDetach(spark, state2, remaining,
+        all.filter(!isDelta && isDetached).select("doc_id"))
+      val nDetach = det.dups.count()
+      val wallDetach = (System.nanoTime() - tD0) / 1e9
+      println(f"DEDUP-INCR-AB rep=$rep full_remaining=$wallFullR%.1f s " +
+        f"detach=$wallDetach%.1f s speedup=${wallFullR / wallDetach}%.2fx " +
+        f"dups_full=$nFullR dups_detach=$nDetach equal=${nFullR == nDetach} " +
+        s"loadavg=[$load]")
     }
     spark.stop()
     scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()

@@ -232,6 +232,41 @@ class IncrementalSpec extends SparkSpec {
     clusterSet(res.clusters) shouldBe clusterSet(base.clusters)
   }
 
+  test("CRUD cycle composes: detach, commit, then attach equals one batch") {
+    // delete a slice, commit the post-delete state, then attach a fresh
+    // delta against it — the full lifecycle a deployment runs (takedown
+    // batch between two crawls) must equal one batch over the final corpus
+    val p = SynthParams(nPages = 900, nEntities = 90)
+    val all = Synth.pages(spark, p).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dict = Synth.dict(spark, p).toDF()
+    val hv = pmod(xxhash64(col("url")), lit(10))
+    val base0 = all.filter(hv < 8)            // initial corpus
+    val delSlice = all.filter(hv === 1)       // takedown batch (in base0)
+    val d2 = all.filter(hv >= 8)              // next crawl delta
+
+    val fullCfg = PipelineConfig(checkpointDir = freshDir(), runId = "full")
+    val full = Pipeline.run(spark,
+      base0.join(delSlice.select("url").distinct(), Seq("url"), "left_anti")
+        .unionByName(d2), dict, fullCfg)
+
+    val baseCfg = PipelineConfig(checkpointDir = freshDir(), runId = "b0",
+      keepBlockOverflow = true)
+    Pipeline.run(spark, base0, dict, baseCfg)
+    val r1 = Incremental.detach(spark,
+      Incremental.stateFromCheckpoint(spark, baseCfg.checkpointDir),
+      delSlice.select("url").distinct(), dict, baseCfg)
+    val dir1 = freshDir() + "/chained"
+    Incremental.commitAsBase(r1, dir1)
+    val r2 = Incremental.attach(spark,
+      Incremental.stateFromCheckpoint(spark, dir1), d2, dict, baseCfg)
+
+    clusterSet(r2.clusters) shouldBe clusterSet(full.clusters)
+    edgeSet(r2.scored) shouldBe edgeSet(full.scored)
+    all.unpersist()
+    ()
+  }
+
   test("detach == full recompute over the remaining pages, with true erasure") {
     val p = SynthParams(nPages = 900, nEntities = 90)
     val all = Synth.pages(spark, p).toDF()

@@ -97,10 +97,40 @@ object Clustering {
     // (9.6M pages / 56g heap, measured): large inputs must pass a
     // data-scaled `partitions` (Partitioning.ccPartitions; Pipeline does).
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    // CC rounds are NOT CPU-heavy per byte (hash agg + join over two id
+    // columns), so AQE's byte-targeted coalescing is the right parallelism
+    // policy inside the loop: a fixture-sized round collapses to 1-2 tasks
+    // (the per-round task overhead across ~10 rounds dominated small-graph
+    // CC; measured 2-3x on the 800-page flagship fixture), while a 10^8-edge
+    // round still fans out to advisory-sized partitions. parallelismFirst
+    // (the default) would instead hold every tiny round at defaultParallelism
+    // tasks. Session value restored after the loop — the one-pass stages
+    // (scoring) ARE CPU-heavy per byte and need parallelism-first (measured
+    // 3x slower at 50k pages under byte-targeted coalescing).
+    val pfKey = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    val advKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val prevPf = spark.conf.getOption(pfKey)
+    val prevAdv = spark.conf.getOption(advKey)
     spark.conf.set("spark.sql.shuffle.partitions",
       math.max(2, partitions.getOrElse(spark.sparkContext.defaultParallelism)).toString)
+    spark.conf.set(pfKey, "false")
+    // small advisory: the coalescer only MERGES below the pinned partition
+    // count, so a big run (partitions sized by Partitioning.ccPartitions,
+    // each >> 1m) is untouched, a mid-size graph keeps a handful of tasks,
+    // and only genuinely tiny rounds collapse to 1
+    spark.conf.set(advKey, "1m")
     try connectedComponentsInner(spark, edges0, checkpointDir, maxIter, roundsPerCut)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevPf match {
+        case Some(v) => spark.conf.set(pfKey, v)
+        case None => spark.conf.unset(pfKey)
+      }
+      prevAdv match {
+        case Some(v) => spark.conf.set(advKey, v)
+        case None => spark.conf.unset(advKey)
+      }
+    }
   }
 
   private def connectedComponentsInner(spark: SparkSession, edges0: DataFrame,

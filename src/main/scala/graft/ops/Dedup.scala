@@ -288,7 +288,7 @@ object Dedup {
     val ids = cands.select(col("id_a").as("id"))
       .union(cands.select(col("id_b").as("id"))).distinct()
     val texts = docs.select(col(idCol).as("id"), col(textCol).as("t"))
-      .join(ids, Seq("id"), "left_semi")
+      .join(broadcast(ids), Seq("id"), "left_semi")
       .select(col("id"), shingle_hashes(lower(col("t")), 5).as("sh"))
     cands
       .join(texts.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -357,7 +357,7 @@ object Dedup {
     val att = DeltaDedup.attach(spark, keyedAll, state.edges, state.assign,
       minhashVerify(allDocs, idCol, textCol, threshold), maxBucket)
     val mergedEdges = state.edges
-      .join(att.removed, Seq("id_a", "id_b"), "left_anti")
+      .join(broadcast(att.removed), Seq("id_a", "id_b"), "left_anti")
       .unionByName(att.added)
     val dups = att.assign.filter(col("url") =!= col("cluster_id"))
       .select(col("url").cast("long").as(idCol),
@@ -387,9 +387,9 @@ object Dedup {
     val att = DeltaDedup.detach(spark, state.keyed, delIds, state.edges,
       state.assign, minhashVerify(remainingDocs, idCol, textCol, threshold),
       maxBucket)
-    val mergedKeyed = state.keyed.join(delIds, Seq("id"), "left_anti")
+    val mergedKeyed = state.keyed.join(broadcast(delIds), Seq("id"), "left_anti")
     val mergedEdges = state.edges
-      .join(att.removed, Seq("id_a", "id_b"), "left_anti")
+      .join(broadcast(att.removed), Seq("id_a", "id_b"), "left_anti")
       .unionByName(att.added)
     val dups = att.assign.filter(col("url") =!= col("cluster_id"))
       .select(col("url").cast("long").as(idCol),

@@ -92,14 +92,28 @@ object DeltaDedup {
     val keyedB = keyedAll.filter(!col("is_delta"))
     val keyedD = keyedAll.filter(col("is_delta"))
 
-    // touched buckets + membership under old and new views
-    val touched = keyedD.select("bucket").distinct()
-    val oldT = keyedB.join(touched, Seq("bucket"), "left_semi")
+    // Every probe into the committed base below BROADCASTS its (delta-
+    // proportional) probe set: the band index is only ever read as a
+    // streaming scan through a broadcast hash join — never shuffled. The
+    // unhinted semi-joins here were the measured 2.4M-doc attach floor
+    // (145s, SCALING.json): Spark's size estimate for plan-cut frames
+    // defaults to "huge", so each prune sort-merge-shuffled the whole
+    // index. Probe sets are bounded by ~bands x |delta| rows (plus the
+    // rare cap-crossing neighborhoods); a delta so large that its bucket
+    // set exceeds the broadcast cap should re-dedup the corpus instead.
+    val touched = keep(keyedD.select("bucket").distinct())
+
+    // touched-bucket membership under old and new views. n_old is DERIVED
+    // (n_new minus the bucket's delta rows — exact under inserts-only, a
+    // band table holds one row per (id, band)) instead of aggregating a
+    // second scan of the base index.
+    val oldT = keyedB.join(broadcast(touched), Seq("bucket"), "left_semi")
     val newT = keep(oldT.unionByName(keyedD))
     val sizes = keep(newT.groupBy("bucket").agg(count(lit(1)).as("n_new"))
-      .join(oldT.groupBy("bucket").agg(count(lit(1)).as("n_old")),
+      .join(keyedD.groupBy("bucket").agg(count(lit(1)).as("n_d")),
         Seq("bucket"), "left")
-      .select(col("bucket"), coalesce(col("n_old"), lit(0L)).as("n_old"),
+      .select(col("bucket"),
+        (col("n_new") - coalesce(col("n_d"), lit(0L))).as("n_old"),
         col("n_new")))
     val eligNew = sizes
       .filter(col("n_new") > 1 && col("n_new") <= maxBucket).select("bucket")
@@ -120,24 +134,27 @@ object DeltaDedup {
     // touched-and-new-eligible) still generates
     val crossed = sizes.filter(col("n_old") > 1 && col("n_old") <= maxBucket &&
       col("n_new") > maxBucket).select("bucket")
-    val crossedMembers = oldT.join(broadcast(crossed), Seq("bucket"), "left_semi")
+    val crossedMembers = newT.join(broadcast(crossed), Seq("bucket"), "left_semi")
+      .filter(!col("is_delta"))
     val removedCand0 = keep(crossedMembers.as("a").join(crossedMembers.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct())
-    val removedIds = removedCand0.select(col("id_a").as("id"))
-      .union(removedCand0.select(col("id_b").as("id"))).distinct()
-    val untouchedOfRemoved = keyedB.join(removedIds, Seq("id"), "left_semi")
-      .join(touched, Seq("bucket"), "left_anti")
+    val removedIds = keep(removedCand0.select(col("id_a").as("id"))
+      .union(removedCand0.select(col("id_b").as("id"))).distinct())
+    val untouchedOfRemoved = keep(keyedB
+      .join(broadcast(removedIds), Seq("id"), "left_semi")
+      .join(broadcast(touched), Seq("bucket"), "left_anti"))
     val untouchedEligSizes = keyedB
-      .join(untouchedOfRemoved.select("bucket").distinct(),
+      .join(broadcast(untouchedOfRemoved.select("bucket").distinct()),
         Seq("bucket"), "left_semi")
       .groupBy("bucket").agg(count(lit(1)).as("n"))
       .filter(col("n") > 1 && col("n") <= maxBucket)
     val gen = untouchedOfRemoved
-      .join(untouchedEligSizes.select("bucket"), Seq("bucket"), "left_semi")
+      .join(broadcast(untouchedEligSizes.select("bucket")),
+        Seq("bucket"), "left_semi")
       .select("bucket", "id")
-      .unionByName(newTElig.join(removedIds, Seq("id"), "left_semi")
+      .unionByName(newTElig.join(broadcast(removedIds), Seq("id"), "left_semi")
         .select("bucket", "id"))
     val survivors = removedCand0
       .join(gen.select(col("bucket"), col("id").as("id_a")), Seq("id_a"))
@@ -146,10 +163,16 @@ object DeltaDedup {
       .select("id_a", "id_b").distinct()
     val trueRemoved = removedCand0.join(survivors, Seq("id_a", "id_b"), "left_anti")
 
-    // edge flips: pair-intrinsic verification over immutable sets
-    val removedL = keep(baseEdges.join(trueRemoved, Seq("id_a", "id_b"), "left_semi"))
+    // edge flips: pair-intrinsic verification over immutable sets. The
+    // anti-join's base side is pre-pruned to the delta ids' edges (an
+    // anti-join result only depends on right rows whose keys appear on the
+    // left), so the base edge table is never shuffled either.
+    val removedL = keep(baseEdges.join(broadcast(trueRemoved),
+      Seq("id_a", "id_b"), "left_semi"))
     val addedL = keep(verify(addedCand)
-      .join(baseEdges, Seq("id_a", "id_b"), "left_anti"))
+      .join(broadcast(baseEdges.join(
+        broadcast(addedCand.select("id_a").distinct()),
+        Seq("id_a"), "left_semi")), Seq("id_a", "id_b"), "left_anti"))
     val removedK = removedL.select(keyFn(col("id_a")).as("url_a"),
       keyFn(col("id_b")).as("url_b"))
     val addedK = addedL.select(keyFn(col("id_a")).as("url_a"),
@@ -162,18 +185,20 @@ object DeltaDedup {
       .union(addedK.select(col("url_a").as("url")))
       .union(addedK.select(col("url_b").as("url")))
       .distinct()
-    val affectedLabels = keep(baseAssign.join(changedUrls, Seq("url"), "left_semi")
+    val affectedLabels = keep(baseAssign
+      .join(broadcast(changedUrls), Seq("url"), "left_semi")
       .select("cluster_id").distinct())
-    val memberUrls = baseAssign
+    val memberUrls = keep(baseAssign
       .join(broadcast(affectedLabels), Seq("cluster_id"), "left_semi")
-      .select("url")
+      .select("url"))
     val subNodes = memberUrls
       .union(keyedD.select(keyFn(col("id")).as("url")).distinct()).distinct()
     val memberEdges = baseEdges
       .select(keyFn(col("id_a")).as("url_a"), keyFn(col("id_b")).as("url_b"))
-      .join(memberUrls.withColumnRenamed("url", "url_a"), Seq("url_a"), "left_semi")
+      .join(broadcast(memberUrls.withColumnRenamed("url", "url_a")),
+        Seq("url_a"), "left_semi")
     val subEdges = memberEdges
-      .join(removedK, Seq("url_a", "url_b"), "left_anti")
+      .join(broadcast(removedK), Seq("url_a", "url_b"), "left_anti")
       .unionByName(addedK)
       .withColumn("is_match", lit(true))
     val resolved = Clustering.clusters(spark, subEdges, subNodes)
@@ -215,23 +240,31 @@ object DeltaDedup {
     def keep(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
     val delIds = keep(deletedIds.select("id"))
 
-    // touched buckets + membership before and after the delete
-    val touched = baseKeyed.join(delIds, Seq("id"), "left_semi")
-      .select("bucket").distinct()
-    val oldT = baseKeyed.join(touched, Seq("bucket"), "left_semi")
-    val newT = keep(oldT.join(delIds, Seq("id"), "left_anti"))
-    val sizes = keep(oldT.groupBy("bucket").agg(count(lit(1)).as("n_old"))
-      .join(newT.groupBy("bucket").agg(count(lit(1)).as("n_new")),
+    // touched buckets + membership before and after the delete. Probe sets
+    // broadcast, deleted-member counts derived from the (kept, delete-
+    // proportional) deleted membership — the base index is read once as a
+    // streaming scan, never shuffled (same rationale as attach).
+    val delMembers = keep(baseKeyed.join(broadcast(delIds), Seq("id"), "left_semi"))
+    val touched = keep(delMembers.select("bucket").distinct())
+    val oldT = baseKeyed.join(broadcast(touched), Seq("bucket"), "left_semi")
+    val newT = keep(oldT.join(broadcast(delIds), Seq("id"), "left_anti"))
+    val sizes = keep(newT.groupBy("bucket").agg(count(lit(1)).as("n_new"))
+      .join(broadcast(touched), Seq("bucket"), "right_outer")
+      .select(col("bucket"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .join(delMembers.groupBy("bucket").agg(count(lit(1)).as("n_d")),
         Seq("bucket"), "left")
-      .select(col("bucket"), col("n_old"),
-        coalesce(col("n_new"), lit(0L)).as("n_new")))
+      .select(col("bucket"),
+        (col("n_new") + coalesce(col("n_d"), lit(0L))).as("n_old"),
+        col("n_new")))
 
     // removed edges: incident to a deleted id (see scaladoc for why this is
     // the COMPLETE removal set under deletes)
     val removedL = keep(baseEdges
-      .join(delIds.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_semi")
+      .join(broadcast(delIds.withColumnRenamed("id", "id_a")),
+        Seq("id_a"), "left_semi")
       .unionByName(baseEdges
-        .join(delIds.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi")
+        .join(broadcast(delIds.withColumnRenamed("id", "id_b")),
+          Seq("id_b"), "left_semi")
         .select("id_a", "id_b"))
       .distinct())
 
@@ -245,7 +278,9 @@ object DeltaDedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct())
     val addedL = keep(verify(addedCand)
-      .join(baseEdges, Seq("id_a", "id_b"), "left_anti"))
+      .join(broadcast(baseEdges.join(
+        broadcast(addedCand.select("id_a").distinct()),
+        Seq("id_a"), "left_semi")), Seq("id_a", "id_b"), "left_anti"))
 
     val removedK = removedL.select(keyFn(col("id_a")).as("url_a"),
       keyFn(col("id_b")).as("url_b"))
@@ -261,17 +296,19 @@ object DeltaDedup {
       .union(addedK.select(col("url_b").as("url")))
       .union(delUrls)
       .distinct()
-    val affectedLabels = keep(baseAssign.join(changedUrls, Seq("url"), "left_semi")
+    val affectedLabels = keep(baseAssign
+      .join(broadcast(changedUrls), Seq("url"), "left_semi")
       .select("cluster_id").distinct())
-    val memberUrls = baseAssign
+    val memberUrls = keep(baseAssign
       .join(broadcast(affectedLabels), Seq("cluster_id"), "left_semi")
-      .select("url")
-    val subNodes = memberUrls.join(delUrls, Seq("url"), "left_anti")
+      .select("url"))
+    val subNodes = memberUrls.join(broadcast(delUrls), Seq("url"), "left_anti")
     val memberEdges = baseEdges
       .select(keyFn(col("id_a")).as("url_a"), keyFn(col("id_b")).as("url_b"))
-      .join(memberUrls.withColumnRenamed("url", "url_a"), Seq("url_a"), "left_semi")
+      .join(broadcast(memberUrls.withColumnRenamed("url", "url_a")),
+        Seq("url_a"), "left_semi")
     val subEdges = memberEdges
-      .join(removedK, Seq("url_a", "url_b"), "left_anti")
+      .join(broadcast(removedK), Seq("url_a", "url_b"), "left_anti")
       .unionByName(addedK)
       .withColumn("is_match", lit(true))
     val resolved = Clustering.clusters(spark, subEdges, subNodes)

@@ -1,5 +1,7 @@
 package graft.ops
 
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
 import scala.util.chaining._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -57,12 +59,28 @@ import graft.PipelineConfig
   */
 object Incremental {
 
+  /** Small pool for concurrently materializing INDEPENDENT attach
+    * intermediates: Spark's scheduler runs jobs submitted from several
+    * threads side by side (FIFO back-fill), so two plan-cut legs that do not
+    * consume each other overlap instead of serializing — the attach barrier
+    * floor is ~20 eager jobs, and at bench scale each carries 0.2-0.9s of
+    * fixed coordination cost (optimization guide §2.6). */
+  private lazy val attachEc: ExecutionContext =
+    ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(3, r => {
+        val t = new Thread(r, "graft-attach-keep")
+        t.setDaemon(true)
+        t
+      }))
+
   /** Committed base state: the stage tables a full `Pipeline.run` wrote.
     * `blockOverflow` is the rank>cap remainder of hot blocks (stage
-    * s2_overflow, written when `cfg.keepBlockOverflow`); without it,
-    * cap re-entry on shrinking hot blocks cannot be reproduced and attach()
-    * refuses dirty deletes from hot blocks (strict=false documents the
-    * approximation instead). */
+    * s2_overflow, written when `cfg.keepBlockOverflow`); attach() REQUIRES
+    * it — without the overflow rows, cap re-entry on shrinking hot blocks
+    * cannot be reproduced and the "provably identical to a full re-run"
+    * contract would silently degrade to an approximation (round-5 advice:
+    * the old code accepted such bases and returned non-batch-equal
+    * results). */
   case class BaseState(
       pages: DataFrame,
       mentions: DataFrame,
@@ -123,6 +141,10 @@ object Incremental {
       /** Print wall + row count per materialized intermediate (dev/ops
         * decomposition — tools/IncrAB passes true). */
       verbose: Boolean = false): AttachResult = {
+    require(base.blockOverflow.isDefined,
+      "attach requires a base built with keepBlockOverflow=true: exact cap " +
+        "re-entry on shrinking hot blocks needs the s2_overflow rows " +
+        "(without them the result would silently diverge from a full re-run)")
     // Eager local checkpoints, NOT persist(): each keep() cuts the LOGICAL
     // plan to a leaf, not just the execution lineage. The attach algebra
     // references its intermediates multiply (old-vs-new memberships, UxU
@@ -132,6 +154,8 @@ object Incremental {
     // fixture pages. Base tables stay lazy parquet scans (leaf plans); only
     // delta-proportional intermediates are materialized. Checkpoint blocks
     // are reclaimed by the ContextCleaner once the frames go out of scope.
+    // Independent legs materialize CONCURRENTLY (keepF + await): under
+    // verbose the printed walls of concurrent legs overlap.
     def keep(name: String)(df: DataFrame): DataFrame =
       if (!verbose) df.localCheckpoint(eager = true)
       else {
@@ -141,56 +165,72 @@ object Incremental {
           f"rows=${out.count()}")
         out
       }
+    def keepF(name: String)(df: DataFrame): Future[DataFrame] =
+      Future(keep(name)(df))(attachEc)
+    def await(f: Future[DataFrame]): DataFrame = Await.result(f, Duration.Inf)
 
     // ---- s0: merged snapshot winners for urls the delta mentions ----------
+    // deltaUrls and the merged-winner window are independent given the raw
+    // delta (both derive the url set inline) — one overlapped barrier
     val deltaCanon = Extract.canonicalized(deltaPagesIn)
-    val deltaUrls = keep("deltaUrls")(deltaCanon.select("url").distinct())
-    val mergedTouchedPages = Extract.withInvariant(Extract.latestSnapshot(
-      base.pages.drop("invariant_ok")
-        .join(deltaUrls, Seq("url"), "left_semi")
-        .unionByName(deltaCanon)))
-      .pipe(keep("mergedTouchedPages"))
+    val deltaUrlsF = keepF("deltaUrls")(deltaCanon.select("url").distinct())
+    val mergedTouchedPagesF = keepF("mergedTouchedPages")(
+      Extract.withInvariant(Extract.latestSnapshot(
+        base.pages.drop("invariant_ok")
+          .join(broadcast(deltaCanon.select("url").distinct()), Seq("url"), "left_semi")
+          .unionByName(deltaCanon))))
+    val deltaUrls = await(deltaUrlsF)
+    val mergedTouchedPages = await(mergedTouchedPagesF)
 
     // dirty = new url, or an existing url whose winning snapshot changed
     // (html hash is the identity that matters: extraction, mentions and
     // blocking are deterministic in the html payload)
     val baseWinner = base.pages
-      .join(deltaUrls, Seq("url"), "left_semi")
+      .join(broadcast(deltaUrls), Seq("url"), "left_semi")
       .select(col("url"), xxhash64(col("html")).as("h0"))
     val dirtyUrls = mergedTouchedPages
       .select(col("url"), xxhash64(col("html")).as("h1"))
-      .join(baseWinner, Seq("url"), "left_outer")
+      .join(broadcast(baseWinner), Seq("url"), "left_outer")
       .filter(col("h0").isNull || col("h0") =!= col("h1"))
       .select("url")
       .pipe(keep("dirtyUrls"))
 
     // ---- s1: mentions of dirty urls, old and new --------------------------
-    val dirtyPages = mergedTouchedPages.join(dirtyUrls, Seq("url"), "left_semi")
-    val newDirtyMentions = keep("newDirtyMentions")(Extract.mentions(dirtyPages, cfg.ctxWindow))
-    val oldDirtyMentions = base.mentions.join(dirtyUrls, Seq("url"), "left_semi")
+    val dirtyPages = mergedTouchedPages.join(broadcast(dirtyUrls), Seq("url"), "left_semi")
+    val oldDirtyMentions = base.mentions.join(broadcast(dirtyUrls), Seq("url"), "left_semi")
 
     // ---- s2: touched blocks -----------------------------------------------
     // every block key a dirty mention enters (new membership) or leaves (old
     // membership) — block keys are deterministic in mention content, so no
-    // other block's membership can differ from the base run's
+    // other block's membership can differ from the base run's. The OLD-side
+    // key set (a scan of base mentions) materializes concurrently with the
+    // new-side extract -> block chain.
+    val oldDirtyKeysF = keepF("oldDirtyKeys")(
+      Blocking.allBlocks(oldDirtyMentions, dict, cfg.seed)
+        .select("block_key").distinct())
+    val newDirtyMentions = keep("newDirtyMentions")(Extract.mentions(dirtyPages, cfg.ctxWindow))
     val newDirtyBlocks = keep("newDirtyBlocks")(Blocking.allBlocks(newDirtyMentions, dict, cfg.seed))
     val touchedKeys = newDirtyBlocks.select("block_key")
-      .union(Blocking.allBlocks(oldDirtyMentions, dict, cfg.seed).select("block_key"))
+      .union(await(oldDirtyKeysF))
       .distinct()
       .pipe(keep("touchedKeys"))
 
     // raw (uncapped) base membership of touched blocks: capped rows plus the
     // committed overflow, so cap re-entry on shrinking blocks is exact
-    val baseRawTouched = base.blockOverflow
-      .map(o => base.blocks.select("block_key", "mention_id", "url")
-        .unionByName(o.select("block_key", "mention_id", "url")))
-      .getOrElse(base.blocks.select("block_key", "mention_id", "url"))
+    val baseRawTouched = base.blocks.select("block_key", "mention_id", "url")
+      .unionByName(base.blockOverflow.get.select("block_key", "mention_id", "url"))
       .join(broadcast(touchedKeys), Seq("block_key"), "left_semi")
 
     // merged membership: base minus ALL dirty urls' old mentions, plus dirty
-    // new mentions; the content-hash rank cap then reproduces the batch cap
+    // new mentions; the content-hash rank cap then reproduces the batch cap.
+    // The old-membership scan (oldTouchedBlocks) is independent of the
+    // merge+recap chain — overlapped.
+    val oldTouchedBlocksF = keepF("oldTouchedBlocks")(base.blocks
+      .join(broadcast(touchedKeys), Seq("block_key"), "left_semi")
+      .select(col("block_key"), col("mention_id"), col("url"),
+        xxhash64(col("block_key")).as("block_id")))
     val mergedRawTouched = baseRawTouched
-      .join(dirtyUrls, Seq("url"), "left_anti")
+      .join(broadcast(dirtyUrls), Seq("url"), "left_anti")
       .unionByName(newDirtyBlocks.select("block_key", "mention_id", "url"))
       .pipe(keep("mergedRawTouched"))
     val newTouchedBlocks = keep("newTouchedBlocks")(Blocking.capBlocks(mergedRawTouched, cfg.maxBlock)
@@ -198,10 +238,7 @@ object Incremental {
     // materialized once: consumed by the leaver/entrant diff, the co-member
     // expansion and the old-contribution join — without the checkpoint each
     // consumer re-scans the full s2_blocks table
-    val oldTouchedBlocks = keep("oldTouchedBlocks")(base.blocks
-      .join(broadcast(touchedKeys), Seq("block_key"), "left_semi")
-      .select(col("block_key"), col("mention_id"), col("url"),
-        xxhash64(col("block_key")).as("block_id")))
+    val oldTouchedBlocks = await(oldTouchedBlocksF)
 
     // ---- s3: mention pairs whose candidate set can have changed -----------
     // NEVER regenerate a touched block's full O(n²) pair set (one dirty
@@ -220,26 +257,35 @@ object Incremental {
     // or the min-block-id tiebreak moved, or a payload changed); everything
     // else regenerates bit-identically and is NOT rescored. Changed pairs =
     // D × co-members — Σ|D_b|·|members_b|, delta-proportional.
+    // id-keyed projections: the diff and every generation join below key on
+    // the numeric block_id (the id the committed s3 rows carry and the batch
+    // self-join pairs on) — band-key strings never enter these shuffles
     val oldCapM = oldTouchedBlocks
-      .select("block_key", "mention_id", "url", "block_id")
+      .select("block_id", "mention_id", "url")
     val newCapM = newTouchedBlocks
-      .select("block_key", "mention_id", "url", "block_id")
-    val leavers = oldCapM.join(newCapM.select("block_key", "mention_id"),
-      Seq("block_key", "mention_id"), "left_anti")
-    val entrants = newCapM.join(oldCapM.select("block_key", "mention_id"),
-      Seq("block_key", "mention_id"), "left_anti")
-    val dirtyMembers = newCapM.join(dirtyUrls, Seq("url"), "left_semi")
-    val dMembers = keep("dMembers")(leavers.unionByName(entrants)
-      .unionByName(dirtyMembers).distinct())
+      .select("block_id", "mention_id", "url")
+    val leavers = oldCapM.join(broadcast(newCapM.select("block_id", "mention_id")),
+      Seq("block_id", "mention_id"), "left_anti")
+    val entrants = newCapM.join(broadcast(oldCapM.select("block_id", "mention_id")),
+      Seq("block_id", "mention_id"), "left_anti")
+    val dirtyMembers = newCapM.join(broadcast(dirtyUrls), Seq("url"), "left_semi")
+    // single consumer (mpRaw) over already-kept inputs: no barrier of its own
+    val dMembers = leavers.unionByName(entrants)
+      .unionByName(dirtyMembers)
 
     // candidate mention pairs POSSIBLY changed (D × co-members within a
-    // shared touched block), oriented like production pair-gen (url_a<url_b)
-    val coMembers = oldCapM.unionByName(newCapM).distinct()
-    val mpRaw = keep("mpRaw")(dMembers
-      .select(col("block_key"), col("mention_id").as("mid_d"),
-        col("url").as("url_d"))
-      .join(coMembers.select(col("block_key"), col("mention_id").as("mid_o"),
-        col("url").as("url_o")), Seq("block_key"))
+    // shared touched block), oriented like production pair-gen (url_a<url_b).
+    // Joined on the NUMERIC block_id, exactly like the production pair self-
+    // join (Blocking.candidatePairs keys on block_id, not block_key): narrow
+    // long keys instead of band-key strings through the expansion shuffle.
+    // no distinct here: mpRaw dedups its own output, and duplicate membership
+    // rows (present in both caps) cannot change the pair set — saves a shuffle
+    val coMembers = oldCapM.unionByName(newCapM)
+    val mpRaw = keep("mpRaw")(broadcast(dMembers
+      .select(col("block_id"), col("mention_id").as("mid_d"),
+        col("url").as("url_d")))
+      .join(coMembers.select(col("block_id"), col("mention_id").as("mid_o"),
+        col("url").as("url_o")), Seq("block_id"))
       .filter(col("url_d") =!= col("url_o"))
       .select(
         when(col("url_d") < col("url_o"), col("mid_d")).otherwise(col("mid_o"))
@@ -253,25 +299,44 @@ object Incremental {
 
     // per-pair min generating block id from each source, restricted to the
     // candidate pairs — every join here is delta-proportional:
-    //  - tb_old / tb_new: touched blocks under old/new capped membership;
+    //  - tb_old / tb_new: touched blocks under old/new capped membership,
+    //    computed in ONE fused pass (src tag in the join key + conditional
+    //    min aggregates) instead of two separate coGen join pairs;
     //  - tb_unt: untouched blocks (membership unchanged — base.blocks minus
     //    touched) of the candidate pairs' mentions.
+    // All generation joins key on block_id — the id the committed s3 rows
+    // carry and the batch self-join pairs on.
     val midsChanged = mpKeys.select(col("mid_a").as("mention_id"))
       .union(mpKeys.select(col("mid_b").as("mention_id"))).distinct()
-    val blocksOfChanged = keep("blocksOfChanged")(base.blocks
-      .join(midsChanged, Seq("mention_id"), "left_semi")
+    val blocksOfChangedF = keepF("blocksOfChanged")(base.blocks
+      .join(broadcast(midsChanged), Seq("mention_id"), "left_semi")
       .join(broadcast(touchedKeys), Seq("block_key"), "left_anti")
-      .select(col("block_key"), col("mention_id"),
-        xxhash64(col("block_key")).as("block_id")))
-    def coGen(members: DataFrame, out: String) = mpKeys
-      .join(members.select(col("mention_id").as("mid_a"), col("block_key"),
-        col("block_id")), Seq("mid_a"))
-      .join(members.select(col("mention_id").as("mid_b"), col("block_key")),
-        Seq("mid_b", "block_key"))
+      .select(col("mention_id"), xxhash64(col("block_key")).as("block_id")))
+    def coGen(members: DataFrame, out: String) = broadcast(mpKeys)
+      .join(members.select(col("mention_id").as("mid_a"), col("block_id")),
+        Seq("mid_a"))
+      .join(broadcast(members.select(col("mention_id").as("mid_b"),
+        col("block_id"))), Seq("mid_b", "block_id"))
       .groupBy("mid_a", "mid_b")
       .agg(min(col("block_id")).as(out))
-    val tbOld = coGen(oldCapM, "tb_old")
-    val tbNew = coGen(newCapM, "tb_new")
+    // fused tb_old/tb_new: a pair is generated by a source iff both endpoints
+    // share a block IN THAT SOURCE — src rides the join key, so the fused
+    // join equals coGen(oldCapM) ⟗ coGen(newCapM) with half the joins. The
+    // pair-key set is delta-proportional and id-only: broadcast it so the
+    // membership table streams through two hash joins unshuffled.
+    val tbON = {
+      val both = oldCapM.withColumn("src", lit(0))
+        .unionByName(newCapM.withColumn("src", lit(1)))
+      broadcast(mpKeys)
+        .join(both.select(col("mention_id").as("mid_a"), col("block_id"),
+          col("src")), Seq("mid_a"))
+        .join(broadcast(both.select(col("mention_id").as("mid_b"),
+          col("block_id"), col("src"))), Seq("mid_b", "block_id", "src"))
+        .groupBy("mid_a", "mid_b")
+        .agg(min(when(col("src") === 0, col("block_id"))).as("tb_old"),
+          min(when(col("src") === 1, col("block_id"))).as("tb_new"))
+    }.pipe(keep("tbON"))
+    val blocksOfChanged = await(blocksOfChangedF)
     val tbUnt = coGen(blocksOfChanged, "tb_unt")
 
     // TRULY changed pairs: touched contribution differs (generation gained/
@@ -280,12 +345,11 @@ object Incremental {
     // Pairs with identical touched contribution and clean payloads
     // regenerate bit-identically and are NOT rescored.
     val dirtyIncident = mpRaw
-      .join(dirtyUrls.withColumnRenamed("url", "url_a"), Seq("url_a"), "left_semi")
-      .unionByName(mpRaw.join(dirtyUrls.withColumnRenamed("url", "url_b"),
+      .join(broadcast(dirtyUrls.withColumnRenamed("url", "url_a")), Seq("url_a"), "left_semi")
+      .unionByName(mpRaw.join(broadcast(dirtyUrls.withColumnRenamed("url", "url_b")),
         Seq("url_b"), "left_semi"))
     val mpP = keep("mpP")(mpRaw
-      .join(tbOld, Seq("mid_a", "mid_b"), "left")
-      .join(tbNew, Seq("mid_a", "mid_b"), "left")
+      .join(broadcast(tbON), Seq("mid_a", "mid_b"), "left")
       .filter(!(col("tb_old") <=> col("tb_new")))
       .select("mid_a", "mid_b", "url_a", "url_b")
       .unionByName(dirtyIncident)
@@ -301,16 +365,21 @@ object Incremental {
       .union(dirtyUrls.select("url"))
       .distinct())
 
-    // base mention ids of affected urls (with url, for the pair-level semi
-    // join) — the pruning key into s3
-    val midsU = keep("midsU")(base.mentions.join(affectedUrls, Seq("url"), "left_semi")
+    // base mention ids of affected urls (the pruning key into s3) and the
+    // merged mentions view (the s4 hydration payload) are independent given
+    // affectedUrls — the s3P chain and mentionsU materialize concurrently
+    val mentionsUF = keepF("mentionsU")(base.mentions
+      .join(broadcast(dirtyUrls), Seq("url"), "left_anti")
+      .join(broadcast(affectedUrls), Seq("url"), "left_semi")
+      .unionByName(newDirtyMentions))
+    val midsU = keep("midsU")(base.mentions.join(broadcast(affectedUrls), Seq("url"), "left_semi")
       .select(col("mention_id"), col("url")))
     // committed candidates of P's url pairs, with their committed min
     // generating block id
     val s3P = base.pairs
-      .join(midsU.select(col("mention_id").as("mid_a"), col("url").as("url_a")),
+      .join(broadcast(midsU.select(col("mention_id").as("mid_a"), col("url").as("url_a"))),
         Seq("mid_a"))
-      .join(midsU.select(col("mention_id").as("mid_b"), col("url").as("url_b")),
+      .join(broadcast(midsU.select(col("mention_id").as("mid_b"), col("url").as("url_b"))),
         Seq("mid_b"))
       .join(broadcast(pairsP), Seq("url_a", "url_b"), "left_semi")
       .select("mid_a", "mid_b", "block_id")
@@ -321,14 +390,14 @@ object Incremental {
     // row (both endpoints stable in every touched block they share, payloads
     // clean): reuse base.pairs verbatim, no regeneration
     val mpPKeys = mpP.select("mid_a", "mid_b")
-    val stableCands = s3P.join(mpPKeys, Seq("mid_a", "mid_b"), "left_anti")
+    val stableCands = s3P.join(broadcast(mpPKeys), Seq("mid_a", "mid_b"), "left_anti")
 
     // CHANGED pairs: new min block id = min(new touched, untouched)
     // contribution; generated by neither source → EVICTED (absent from the
     // rescore input, so its url pair drops out of the merged scored table
     // unless other candidates remain)
     val changedCands = mpPKeys
-      .join(tbNew, Seq("mid_a", "mid_b"), "left")
+      .join(broadcast(tbON.select("mid_a", "mid_b", "tb_new")), Seq("mid_a", "mid_b"), "left")
       .join(tbUnt, Seq("mid_a", "mid_b"), "left")
       .select(col("mid_a"), col("mid_b"),
         least(col("tb_new"), col("tb_unt")).as("block_id"))
@@ -340,14 +409,20 @@ object Incremental {
     // ---- s4: rescore the P pairs over their full candidate sets -----------
     // merged mentions view restricted to P's urls (hydration payload is
     // delta-proportional)
-    val mentionsU = base.mentions
-      .join(dirtyUrls, Seq("url"), "left_anti")
-      .join(affectedUrls, Seq("url"), "left_semi")
-      .unionByName(newDirtyMentions)
-      .pipe(keep("mentionsU"))
+    val mentionsU = await(mentionsUF)
+    // hydration strategy: same byte-sized auto-gate as the batch path
+    // (round-5 advice — the old unconditional broadcast could exceed the
+    // 8 GiB broadcast cap on a dense P set where the batch run would have
+    // chosen shuffle hydration); one cheap agg over the kept projection
+    val bcastHydrate = cfg.broadcastMentions.getOrElse {
+      def oct(c: String) = coalesce(octet_length(col(c)).cast("long"), lit(0L))
+      val bytes = mentionsU.agg(coalesce(sum(
+        oct("surface") + oct("ctx") + oct("url") + lit(24L)),
+        lit(0L))).head().getLong(0)
+      bytes <= cfg.resolvedBroadcastMentionsMaxBytes
+    }
     val rescored = Scoring.score(newCandsP, mentionsU, cfg.weights,
-      cfg.embedDim, cfg.seed,
-      broadcastMentions = cfg.broadcastMentions.getOrElse(true))
+      cfg.embedDim, cfg.seed, broadcastMentions = bcastHydrate)
       .pipe(keep("rescored"))
 
     // merged scored view: base rows for url pairs outside P are reused
@@ -377,7 +452,7 @@ object Incremental {
       .union(dirtyUrls.select("url"))
       .distinct()
     val affectedLabels = base.clusters
-      .join(changedUrls, Seq("url"), "left_semi")
+      .join(broadcast(changedUrls), Seq("url"), "left_semi")
       .select(col("cluster_id")).distinct()
       .pipe(keep("affectedLabels"))
 
@@ -389,10 +464,10 @@ object Incremental {
       .join(broadcast(affectedLabels), Seq("cluster_id"), "left_semi")
       .select("url")
     val dirtyValidNodes = mergedTouchedPages
-      .join(dirtyUrls, Seq("url"), "left_semi")
+      .join(broadcast(dirtyUrls), Seq("url"), "left_semi")
       .filter(col("lang") === "en" && col("invariant_ok"))
       .select("url")
-    val subNodes = memberUrls.join(dirtyUrls, Seq("url"), "left_anti")
+    val subNodes = memberUrls.join(broadcast(dirtyUrls), Seq("url"), "left_anti")
       .union(dirtyValidNodes).distinct()
     val memberEdges = base.scored.filter(col("is_match"))
       .join(memberUrls.withColumnRenamed("url", "url_a"), Seq("url_a"), "left_semi")
@@ -416,9 +491,9 @@ object Incremental {
     // dirty ones): a content-identical re-send with a later warc_ts is a
     // semantic no-op but the batch s0 carries the later row, and the merged
     // view must match it byte-for-byte
-    val pagesMerged = base.pages.join(deltaUrls, Seq("url"), "left_anti")
+    val pagesMerged = base.pages.join(broadcast(deltaUrls), Seq("url"), "left_anti")
       .unionByName(mergedTouchedPages)
-    val mentionsMerged = base.mentions.join(dirtyUrls, Seq("url"), "left_anti")
+    val mentionsMerged = base.mentions.join(broadcast(dirtyUrls), Seq("url"), "left_anti")
       .unionByName(newDirtyMentions)
 
     // merged s2/s2_overflow/s3 for chaining: untouched rows verbatim;
@@ -436,7 +511,7 @@ object Incremental {
             .select(o.columns.head, o.columns.tail: _*))
     }
     val pairsMerged = base.pairs
-      .join(mpPKeys, Seq("mid_a", "mid_b"), "left_anti")
+      .join(broadcast(mpPKeys), Seq("mid_a", "mid_b"), "left_anti")
       .unionByName(changedCands)
 
     AttachResult(clustersMerged, scoredMerged, mentionsMerged, pagesMerged,

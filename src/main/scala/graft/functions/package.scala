@@ -60,6 +60,11 @@ package object functions {
   def token_jaccard(a: Column, b: Column): Column =
     e2col(TokenJaccardExpr(col2e(a.cast("string")), col2e(b.cast("string"))))
 
+  /** Random-hyperplane sign bucket (codegen'd; bit-identical to the
+    * aggregate/zip_with composition it replaces and to Ann.bucketOf). */
+  def sign_bucket(vec: Column, nPlanes: Int, seed: Long = 42L): Column =
+    e2col(SignBucketExpr(col2e(vec.cast(ArrayType(FloatType))), nPlanes, seed))
+
   /** Fused cosine(hash_embed(a), hash_embed(b)) — the pairwise-scoring hot
     * path. */
   def context_cosine(a: Column, b: Column, dim: Int = 256,

@@ -27,28 +27,16 @@ import graft.functions.cosine_sim
 object Ann {
 
   /** Deterministic random-hyperplane sign bucket (0 .. 2^nPlanes-1).
-    * Plane p's component d = ±1 from mix(seed, p, d) — computed on the fly,
-    * identical on every executor. Built-in composition (aggregate over the
-    * vector) — no UDF. */
-  def signBucket(vec: Column, nPlanes: Int, seed: Long): Column = {
-    val planes = (0 until nPlanes).map { pIdx =>
-      // dot(vec, plane_p) > 0 ? bit p : 0
-      val dot = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x * signOf(pIdx, i, seed)),
-        lit(0.0d), (acc, x) => acc + x)
-      when(dot > 0, lit(1 << pIdx)).otherwise(lit(0))
-    }
-    planes.reduce(_ + _)
-  }
-
-  /** ±1 pseudo-random plane component as a column expression of the element
-    * index: bit parity of a mixed hash. Matches HashUtil.mix determinism. */
-  private def signOf(plane: Int, i: Column, seed: Long): Column = {
-    // xxhash64 of (seed, plane, i) — parity bit decides the sign
-    val h = xxhash64(lit(seed), lit(plane), i)
-    when(pmod(h, lit(2)) === 0, lit(1.0d)).otherwise(lit(-1.0d))
-  }
+    * Plane p's component d = ±1 from the parity of xxhash64(seed, p, d) —
+    * computed on the fly, identical on every executor. Codegen'd custom
+    * expression (graft.expr.SignBucketExpr): the former aggregate/zip_with
+    * built-in composition was interpreted per element and dominated the
+    * bucketing pass at high plane x dim counts (2.3s for 5000 docs at
+    * 12x256); the expression is bit-identical to it and to the driver-side
+    * bucketOf mirror below (all fold Spark's XxHash64Function the same way —
+    * ExprSpec pins composition == expression == bucketOf). */
+  def signBucket(vec: Column, nPlanes: Int, seed: Long): Column =
+    graft.functions.sign_bucket(vec, nPlanes, seed)
 
   /** Exact brute-force cosine top-k against a literal query vector. */
   def bruteForceTopK(embs: DataFrame, query: Array[Float], k: Int,
@@ -105,9 +93,23 @@ object Ann {
     * the full table (AnnTextOpsSpec asserts selectedPartitions < total).
     * At 100 TB this is the difference between an O(n) scan per query and a
     * ~((1+nPlanes)/2^nPlanes)·n probe. */
+  /** The frame writeBucketed materializes (exposed for the plan audit).
+    * Explicit-count repartition by the partition column: per-file creation
+    * (open + footer + close) is the measured cost of a 2^nPlanes-dir write
+    * (5.2s of g12's 5.6s at sf0.1 was ONE task sequentially creating 252
+    * files), so spread the buckets over the cores. The explicit count
+    * matters: a bare repartition(col) of a small table is AQE-coalesced
+    * back to one task. Each bucket hashes to exactly one task, so every
+    * dir still holds one file (guide §6 file sizing). */
+  def bucketedFrame(embs: DataFrame, nPlanes: Int = 8, seed: Long = 42L,
+      vecCol: String = "embedding"): DataFrame =
+    embs.withColumn("bucket", signBucket(col(vecCol), nPlanes, seed))
+      .repartition(embs.sparkSession.sparkContext.defaultParallelism,
+        col("bucket"))
+
   def writeBucketed(embs: DataFrame, path: String, nPlanes: Int = 8,
       seed: Long = 42L, vecCol: String = "embedding"): Unit =
-    embs.withColumn("bucket", signBucket(col(vecCol), nPlanes, seed))
+    bucketedFrame(embs, nPlanes, seed, vecCol)
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
   /** LSH top-k over a bucket-partitioned table written by writeBucketed:

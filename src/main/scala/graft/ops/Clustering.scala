@@ -151,6 +151,7 @@ object Clustering {
           .observe(o, checksumExprs.head, checksumExprs.tail: _*)
         o
       }
+      val t0 = System.nanoTime()
       val cut = checkpointDir match {
         case Some(dir) =>
           val ri = round + roundsThisCut - 1
@@ -177,6 +178,10 @@ object Clustering {
         converged ||= cs == last
         last = cs
       }
+      // per-round diagnostics (dev only): GRAFT_CC_VERBOSE=1
+      if (sys.env.get("GRAFT_CC_VERBOSE").contains("1"))
+        println(f"[cc] round=$round wall=${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          f"edges=${last._1} converged=$converged")
       edges = cut
       round += roundsThisCut
     }

@@ -88,7 +88,10 @@ object DeltaDedup {
     // downstream self-referencing branches, and without a LOGICAL-plan cut
     // the diff algebra's analyzed plan grows exponentially (persist() caches
     // data but keeps the full plan; see Portable.erClustersPortableIncremental)
-    def keep(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+    def keep(name: String)(df: DataFrame): DataFrame = {
+      Diag.dumpPlan(s"dd_$name", df)
+      df.localCheckpoint(eager = true)
+    }
     val keyedB = keyedAll.filter(!col("is_delta"))
     val keyedD = keyedAll.filter(col("is_delta"))
 
@@ -101,15 +104,15 @@ object DeltaDedup {
     // index. Probe sets are bounded by ~bands x |delta| rows (plus the
     // rare cap-crossing neighborhoods); a delta so large that its bucket
     // set exceeds the broadcast cap should re-dedup the corpus instead.
-    val touched = keep(keyedD.select("bucket").distinct())
+    val touched = keep("touched")(keyedD.select("bucket").distinct())
 
     // touched-bucket membership under old and new views. n_old is DERIVED
     // (n_new minus the bucket's delta rows — exact under inserts-only, a
     // band table holds one row per (id, band)) instead of aggregating a
     // second scan of the base index.
     val oldT = keyedB.join(broadcast(touched), Seq("bucket"), "left_semi")
-    val newT = keep(oldT.unionByName(keyedD))
-    val sizes = keep(newT.groupBy("bucket").agg(count(lit(1)).as("n_new"))
+    val newT = keep("newT")(oldT.unionByName(keyedD))
+    val sizes = keep("sizes")(newT.groupBy("bucket").agg(count(lit(1)).as("n_new"))
       .join(keyedD.groupBy("bucket").agg(count(lit(1)).as("n_d")),
         Seq("bucket"), "left")
       .select(col("bucket"),
@@ -120,7 +123,7 @@ object DeltaDedup {
 
     // ADDED candidates: delta members × co-members in new-eligible buckets
     val newTElig = newT.join(broadcast(eligNew), Seq("bucket"), "left_semi")
-    val addedCand = keep(newTElig.filter(col("is_delta"))
+    val addedCand = keep("addedCand")(newTElig.filter(col("is_delta"))
       .select(col("bucket"), col("id").as("id_d"))
       .join(newTElig.select(col("bucket"), col("id").as("id_o")), Seq("bucket"))
       .filter(col("id_d") =!= col("id_o"))
@@ -136,13 +139,13 @@ object DeltaDedup {
       col("n_new") > maxBucket).select("bucket")
     val crossedMembers = newT.join(broadcast(crossed), Seq("bucket"), "left_semi")
       .filter(!col("is_delta"))
-    val removedCand0 = keep(crossedMembers.as("a").join(crossedMembers.as("b"),
+    val removedCand0 = keep("removedCand0")(crossedMembers.as("a").join(crossedMembers.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct())
-    val removedIds = keep(removedCand0.select(col("id_a").as("id"))
+    val removedIds = keep("removedIds")(removedCand0.select(col("id_a").as("id"))
       .union(removedCand0.select(col("id_b").as("id"))).distinct())
-    val untouchedOfRemoved = keep(keyedB
+    val untouchedOfRemoved = keep("untouchedOfRemoved")(keyedB
       .join(broadcast(removedIds), Seq("id"), "left_semi")
       .join(broadcast(touched), Seq("bucket"), "left_anti"))
     val untouchedEligSizes = keyedB
@@ -167,9 +170,9 @@ object DeltaDedup {
     // anti-join's base side is pre-pruned to the delta ids' edges (an
     // anti-join result only depends on right rows whose keys appear on the
     // left), so the base edge table is never shuffled either.
-    val removedL = keep(baseEdges.join(broadcast(trueRemoved),
+    val removedL = keep("removedL")(baseEdges.join(broadcast(trueRemoved),
       Seq("id_a", "id_b"), "left_semi"))
-    val addedL = keep(verify(addedCand)
+    val addedL = keep("addedL")(verify(addedCand)
       .join(broadcast(baseEdges.join(
         broadcast(addedCand.select("id_a").distinct()),
         Seq("id_a"), "left_semi")), Seq("id_a", "id_b"), "left_anti"))
@@ -185,10 +188,10 @@ object DeltaDedup {
       .union(addedK.select(col("url_a").as("url")))
       .union(addedK.select(col("url_b").as("url")))
       .distinct()
-    val affectedLabels = keep(baseAssign
+    val affectedLabels = keep("affectedLabels")(baseAssign
       .join(broadcast(changedUrls), Seq("url"), "left_semi")
       .select("cluster_id").distinct())
-    val memberUrls = keep(baseAssign
+    val memberUrls = keep("memberUrls")(baseAssign
       .join(broadcast(affectedLabels), Seq("cluster_id"), "left_semi")
       .select("url"))
     val subNodes = memberUrls
@@ -202,7 +205,7 @@ object DeltaDedup {
       .unionByName(addedK)
       .withColumn("is_match", lit(true))
     val resolved = Clustering.clusters(spark, subEdges, subNodes)
-    val assign = keep(baseAssign
+    val assign = keep("assign")(baseAssign
       .join(broadcast(affectedLabels), Seq("cluster_id"), "left_anti")
       .select("url", "cluster_id")
       .unionByName(resolved.select("url", "cluster_id")))
@@ -237,18 +240,21 @@ object DeltaDedup {
       baseEdges: DataFrame, baseAssign: DataFrame,
       verify: DataFrame => DataFrame, maxBucket: Int,
       keyFn: Column => Column = key): Attached = {
-    def keep(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
-    val delIds = keep(deletedIds.select("id"))
+    def keep(name: String)(df: DataFrame): DataFrame = {
+      Diag.dumpPlan(s"ddx_$name", df)
+      df.localCheckpoint(eager = true)
+    }
+    val delIds = keep("delIds")(deletedIds.select("id"))
 
     // touched buckets + membership before and after the delete. Probe sets
     // broadcast, deleted-member counts derived from the (kept, delete-
     // proportional) deleted membership — the base index is read once as a
     // streaming scan, never shuffled (same rationale as attach).
-    val delMembers = keep(baseKeyed.join(broadcast(delIds), Seq("id"), "left_semi"))
-    val touched = keep(delMembers.select("bucket").distinct())
+    val delMembers = keep("delMembers")(baseKeyed.join(broadcast(delIds), Seq("id"), "left_semi"))
+    val touched = keep("touched")(delMembers.select("bucket").distinct())
     val oldT = baseKeyed.join(broadcast(touched), Seq("bucket"), "left_semi")
-    val newT = keep(oldT.join(broadcast(delIds), Seq("id"), "left_anti"))
-    val sizes = keep(newT.groupBy("bucket").agg(count(lit(1)).as("n_new"))
+    val newT = keep("newT")(oldT.join(broadcast(delIds), Seq("id"), "left_anti"))
+    val sizes = keep("sizes")(newT.groupBy("bucket").agg(count(lit(1)).as("n_new"))
       .join(broadcast(touched), Seq("bucket"), "right_outer")
       .select(col("bucket"), coalesce(col("n_new"), lit(0L)).as("n_new"))
       .join(delMembers.groupBy("bucket").agg(count(lit(1)).as("n_d")),
@@ -259,7 +265,7 @@ object DeltaDedup {
 
     // removed edges: incident to a deleted id (see scaladoc for why this is
     // the COMPLETE removal set under deletes)
-    val removedL = keep(baseEdges
+    val removedL = keep("removedL")(baseEdges
       .join(broadcast(delIds.withColumnRenamed("id", "id_a")),
         Seq("id_a"), "left_semi")
       .unionByName(baseEdges
@@ -273,11 +279,11 @@ object DeltaDedup {
     val reentered = sizes.filter(col("n_old") > maxBucket &&
       col("n_new") > 1 && col("n_new") <= maxBucket).select("bucket")
     val reMembers = newT.join(broadcast(reentered), Seq("bucket"), "left_semi")
-    val addedCand = keep(reMembers.as("a").join(reMembers.as("b"),
+    val addedCand = keep("addedCand")(reMembers.as("a").join(reMembers.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct())
-    val addedL = keep(verify(addedCand)
+    val addedL = keep("addedL")(verify(addedCand)
       .join(broadcast(baseEdges.join(
         broadcast(addedCand.select("id_a").distinct()),
         Seq("id_a"), "left_semi")), Seq("id_a", "id_b"), "left_anti"))
@@ -296,10 +302,10 @@ object DeltaDedup {
       .union(addedK.select(col("url_b").as("url")))
       .union(delUrls)
       .distinct()
-    val affectedLabels = keep(baseAssign
+    val affectedLabels = keep("affectedLabels")(baseAssign
       .join(broadcast(changedUrls), Seq("url"), "left_semi")
       .select("cluster_id").distinct())
-    val memberUrls = keep(baseAssign
+    val memberUrls = keep("memberUrls")(baseAssign
       .join(broadcast(affectedLabels), Seq("cluster_id"), "left_semi")
       .select("url"))
     val subNodes = memberUrls.join(broadcast(delUrls), Seq("url"), "left_anti")
@@ -312,7 +318,7 @@ object DeltaDedup {
       .unionByName(addedK)
       .withColumn("is_match", lit(true))
     val resolved = Clustering.clusters(spark, subEdges, subNodes)
-    val assign = keep(baseAssign
+    val assign = keep("assign")(baseAssign
       .join(broadcast(affectedLabels), Seq("cluster_id"), "left_anti")
       .select("url", "cluster_id")
       .unionByName(resolved.select("url", "cluster_id")))

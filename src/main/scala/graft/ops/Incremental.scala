@@ -156,7 +156,8 @@ object Incremental {
     // are reclaimed by the ContextCleaner once the frames go out of scope.
     // Independent legs materialize CONCURRENTLY (keepF + await): under
     // verbose the printed walls of concurrent legs overlap.
-    def keep(name: String)(df: DataFrame): DataFrame =
+    def keep(name: String)(df: DataFrame): DataFrame = {
+      Diag.dumpPlan(s"er_$name", df)
       if (!verbose) df.localCheckpoint(eager = true)
       else {
         val t0 = System.nanoTime()
@@ -165,6 +166,7 @@ object Incremental {
           f"rows=${out.count()}")
         out
       }
+    }
     def keepF(name: String)(df: DataFrame): Future[DataFrame] =
       Future(keep(name)(df))(attachEc)
     def await(f: Future[DataFrame]): DataFrame = Await.result(f, Duration.Inf)

@@ -497,8 +497,14 @@ object Portable {
     * inference (a bare "001011" would be read back as the integer 1011). */
   def writeAxisBucketed(embs: DataFrame, path: String, nPlanes: Int = 6,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    // explicit-count repartition by the partition column before the write:
+    // per-file creation dominates a 2^nPlanes-dir write from few scan tasks,
+    // and a bare repartition(col) would be AQE-coalesced back to one task —
+    // see Ann.writeBucketed
     embs.select(col(idCol), col(vecCol),
         concat(lit("b"), axisSignBucket(col(vecCol), nPlanes)).as("bucket"))
+      .repartition(embs.sparkSession.sparkContext.defaultParallelism,
+        col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
   /** Partition-pruned multi-probe cosine top-k over a writeAxisBucketed

@@ -269,4 +269,32 @@ class SetSimsSpec extends SparkSpec {
       q.getDouble(1) shouldBe p.getDouble(1) +- 1e-12
     }
   }
+
+  test("sign_bucket expression equals the interpreted HOF composition it replaced") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{aggregate, lit, pmod, sequence, when, xxhash64, zip_with}
+    val size = org.apache.spark.sql.functions.size _
+    // the round-5 built-in composition, reconstructed verbatim
+    def hofBucket(vec: org.apache.spark.sql.Column, nPlanes: Int, seed: Long) = {
+      def signOf(plane: Int, i: org.apache.spark.sql.Column) = {
+        val h = xxhash64(lit(seed), lit(plane), i)
+        when(pmod(h, lit(2)) === 0, lit(1.0d)).otherwise(lit(-1.0d))
+      }
+      (0 until nPlanes).map { pIdx =>
+        val dot = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, i) => x * signOf(pIdx, i)),
+          lit(0.0d), (acc, x) => acc + x)
+        when(dot > 0, lit(1 << pIdx)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+    val rnd = new scala.util.Random(17)
+    val df = (0 until 50).map(_ => (0 until 64).map(_ =>
+      (rnd.nextFloat() - 0.5f)).toArray).toDF("v")
+    Seq((8, 42L), (12, 42L), (6, 7L)).foreach { case (planes, seed) =>
+      val got = df.select(sign_bucket(col("v"), planes, seed)).as[Int].collect()
+      val want = df.select(hofBucket(col("v"), planes, seed).cast("int")).as[Int].collect()
+      got.toSeq shouldBe want.toSeq
+    }
+  }
 }

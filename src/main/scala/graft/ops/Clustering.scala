@@ -107,6 +107,17 @@ object Clustering {
     // tasks. Session value restored after the loop — the one-pass stages
     // (scoring) ARE CPU-heavy per byte and need parallelism-first (measured
     // 3x slower at 50k pages under byte-targeted coalescing).
+    // Materialize the INPUT edge set BEFORE entering the CC conf scope: the
+    // caller's un-materialized upstream (blocking + scoring in entry(), the
+    // band self-join + verification in the near-dup family) would otherwise
+    // execute inside the loop's byte-targeted coalescing and get starved of
+    // parallelism — those subtrees are CPU-heavy per byte, exactly what the
+    // scoped confs are wrong for (measured: the whole 800-page flagship
+    // upstream ran as CC "round 0" at ~12s). One eager cut of the distinct
+    // edge set, executed under the session's own parallelism policy.
+    val edgesIn = edges0.select(col("u"), col("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
     val pfKey = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
     val advKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
     val prevPf = spark.conf.getOption(pfKey)
@@ -119,7 +130,7 @@ object Clustering {
     // each >> 1m) is untouched, a mid-size graph keeps a handful of tasks,
     // and only genuinely tiny rounds collapse to 1
     spark.conf.set(advKey, "1m")
-    try connectedComponentsInner(spark, edges0, checkpointDir, maxIter, roundsPerCut)
+    try connectedComponentsInner(spark, edgesIn, checkpointDir, maxIter, roundsPerCut)
     finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       prevPf match {
@@ -133,11 +144,13 @@ object Clustering {
     }
   }
 
+  /** Inner loop; `edges0` must already be the distinct (u, v) edge set,
+    * materialized by the caller (connectedComponents cuts it before
+    * scoping the loop confs). */
   private def connectedComponentsInner(spark: SparkSession, edges0: DataFrame,
       checkpointDir: Option[String], maxIter: Int,
       roundsPerCut: Int): DataFrame = {
-    var edges = edges0.select(col("u"), col("v"))
-      .filter(col("u") =!= col("v")).distinct()
+    var edges = edges0
     var last: (Long, BigDecimal) = (-1L, BigDecimal(-1))
     var round = 0
     var converged = false

@@ -115,12 +115,19 @@ object TextOps {
     *
     * Scale shape: the eval set is tiny relative to a 10^12-doc corpus, so
     * its exploded n-gram table is BROADCAST and the training side is one
-    * scan + explode + hash-agg — no corpus-sized shuffle. For an eval set
-    * too big to broadcast, drop the hint and the same plan shuffles on the
-    * n-gram key. */
+    * scan + explode + hash-agg — no corpus-sized shuffle. The broadcast is
+    * byte-GATED (round-5 advice): the exploded table's size is estimated
+    * with one cheap agg over the (small) eval side, and past the cap the
+    * hint is dropped so the same plan shuffles on the n-gram key instead of
+    * hitting Spark's 8 GiB broadcast-relation limit. Both paths compute
+    * identical rows (join strategy only — unit-pinned). */
   def decontaminate(train: DataFrame, evalDocs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      n: Int = 8): DataFrame = {
+      n: Int = 8,
+      /** Max estimated bytes of the exploded eval n-gram table to
+        * broadcast; <0 derives min(2 GiB, driver heap / 10) — the same
+        * policy as PipelineConfig.resolvedBroadcastMentionsMaxBytes. */
+      broadcastEvalMaxBytes: Long = -1L): DataFrame = {
     // token array projected FIRST, n-grams built from the attribute — the
     // one-select composition re-evaluates the tokenizer inside every lambda
     // element (see Portable.wordNgramsFromTokens)
@@ -131,7 +138,14 @@ object TextOps {
         explode(Portable.wordNgramsFromTokens(col("__tk"), n)).as("ng"))
     val evalNg = ngrams(evalDocs, col(idCol)).withColumnRenamed("__id", "eval_id")
     val trainNg = ngrams(train, col(idCol)).withColumnRenamed("__id", idCol)
-    trainNg.join(broadcast(evalNg), "ng")
+    val cap =
+      if (broadcastEvalMaxBytes >= 0) broadcastEvalMaxBytes
+      else math.min(2L * 1024 * 1024 * 1024, Runtime.getRuntime.maxMemory / 10)
+    val evalBytes = evalNg.agg(coalesce(
+      sum(octet_length(col("ng")).cast("long") + lit(24L)),
+      lit(0L))).head().getLong(0)
+    val evalSide = if (evalBytes <= cap) broadcast(evalNg) else evalNg
+    trainNg.join(evalSide, "ng")
       .groupBy(idCol)
       .agg(countDistinct("eval_id").as("n_eval_docs"),
         countDistinct("ng").as("n_shared_ngrams"))

@@ -205,4 +205,23 @@ class AnnTextOpsSpec extends SparkSpec {
       .as[Int].collect()
     all(ff) shouldBe 4
   }
+
+  test("decontaminate: oversized eval slice takes the shuffle path and matches broadcast") {
+    val docs = (0L until 40L).map { i =>
+      (i, (0 until 12).map(k => s"w${(i * 7 + k * 3) % 23}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val eval = docs.filter(col("doc_id") % 5 === 0)
+    val bcast = TextOps.decontaminate(train, eval, n = 4)
+    // cap 0 forces the fallback: same plan shape, shuffled on the n-gram key
+    val shuffled = TextOps.decontaminate(train, eval, n = 4,
+      broadcastEvalMaxBytes = 0L)
+    shuffled.queryExecution.analyzed.toString should not include "broadcast"
+    bcast.queryExecution.analyzed.toString should include("broadcast")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    shuffled.collect().map(key).sortBy(_._1).toSeq shouldBe
+      bcast.collect().map(key).sortBy(_._1).toSeq
+    bcast.count() should be > 0L
+  }
 }

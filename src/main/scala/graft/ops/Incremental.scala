@@ -370,10 +370,18 @@ object Incremental {
     // base mention ids of affected urls (the pruning key into s3) and the
     // merged mentions view (the s4 hydration payload) are independent given
     // affectedUrls — the s3P chain and mentionsU materialize concurrently
+    // the hydration byte estimate rides mentionsU's materialization as an
+    // observe() metric — no extra estimation job (same trick as CC's
+    // convergence checksums)
+    val mentionsUObs = org.apache.spark.sql.Observation()
+    def oct(c: String) = coalesce(octet_length(col(c)).cast("long"), lit(0L))
     val mentionsUF = keepF("mentionsU")(base.mentions
       .join(broadcast(dirtyUrls), Seq("url"), "left_anti")
       .join(broadcast(affectedUrls), Seq("url"), "left_semi")
-      .unionByName(newDirtyMentions))
+      .unionByName(newDirtyMentions)
+      .observe(mentionsUObs, coalesce(sum(
+        oct("surface") + oct("ctx") + oct("url") + lit(24L)),
+        lit(0L)).as("bytes")))
     val midsU = keep("midsU")(base.mentions.join(broadcast(affectedUrls), Seq("url"), "left_semi")
       .select(col("mention_id"), col("url")))
     // committed candidates of P's url pairs, with their committed min
@@ -415,12 +423,10 @@ object Incremental {
     // hydration strategy: same byte-sized auto-gate as the batch path
     // (round-5 advice — the old unconditional broadcast could exceed the
     // 8 GiB broadcast cap on a dense P set where the batch run would have
-    // chosen shuffle hydration); one cheap agg over the kept projection
+    // chosen shuffle hydration); the estimate was observed during the
+    // mentionsU materialization above
     val bcastHydrate = cfg.broadcastMentions.getOrElse {
-      def oct(c: String) = coalesce(octet_length(col(c)).cast("long"), lit(0L))
-      val bytes = mentionsU.agg(coalesce(sum(
-        oct("surface") + oct("ctx") + oct("url") + lit(24L)),
-        lit(0L))).head().getLong(0)
+      val bytes = mentionsUObs.get("bytes").asInstanceOf[Long]
       bytes <= cfg.resolvedBroadcastMentionsMaxBytes
     }
     val rescored = Scoring.score(newCandsP, mentionsU, cfg.weights,

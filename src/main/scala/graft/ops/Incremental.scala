@@ -359,13 +359,16 @@ object Incremental {
 
     // the rescore unit is the URL pair (best mention pair over its full
     // candidate set): one changed mention-level candidate rescores the pair
-    val pairsP = keep("pairsP")(mpP.select("url_a", "url_b").distinct())
-
-    // url endpoints of P plus dirty urls: payload hydration + base pruning
-    val affectedUrls = keep("affectedUrls")(pairsP.select(col("url_a").as("url"))
-      .union(pairsP.select(col("url_b").as("url")))
-      .union(dirtyUrls.select("url"))
-      .distinct())
+    // pairsP and affectedUrls both derive from the kept mpP — one
+    // overlapped barrier instead of two serial ones
+    val pairsPF = keepF("pairsP")(mpP.select("url_a", "url_b").distinct())
+    val affectedUrlsF = keepF("affectedUrls")(
+      mpP.select(col("url_a").as("url"))
+        .union(mpP.select(col("url_b").as("url")))
+        .union(dirtyUrls.select("url"))
+        .distinct())
+    val pairsP = await(pairsPF)
+    val affectedUrls = await(affectedUrlsF)
 
     // base mention ids of affected urls (the pruning key into s3) and the
     // merged mentions view (the s4 hydration payload) are independent given

@@ -35,6 +35,18 @@ import org.apache.spark.sql.functions._
   */
 object DeltaDedup {
 
+  /** Small pool for overlapping independent attach legs (same pattern as
+    * Incremental.attachEc — Spark runs jobs from several threads side by
+    * side, so the added-edge verification overlaps the removed-branch
+    * survivor scans instead of serializing behind them). */
+  private lazy val keepEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(2, r => {
+        val t = new Thread(r, "graft-deltadedup-keep")
+        t.setDaemon(true)
+        t
+      }))
+
   /** Edge flips + maintained assignment from one inserts-only attach. */
   final case class Attached(
       /** (url, cluster_id) lpad-keyed assignment over base ∪ delta nodes. */
@@ -92,6 +104,10 @@ object DeltaDedup {
       Diag.dumpPlan(s"dd_$name", df)
       df.localCheckpoint(eager = true)
     }
+    def keepF(name: String)(df: DataFrame) =
+      scala.concurrent.Future(keep(name)(df))(keepEc)
+    def await(f: scala.concurrent.Future[DataFrame]): DataFrame =
+      scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
     val keyedB = keyedAll.filter(!col("is_delta"))
     val keyedD = keyedAll.filter(col("is_delta"))
 
@@ -123,7 +139,9 @@ object DeltaDedup {
 
     // ADDED candidates: delta members × co-members in new-eligible buckets
     val newTElig = newT.join(broadcast(eligNew), Seq("bucket"), "left_semi")
-    val addedCand = keep("addedCand")(newTElig.filter(col("is_delta"))
+    // materializes concurrently with the removed-candidate branch below
+    // (both depend only on the kept newT/sizes)
+    val addedCandF = keepF("addedCand")(newTElig.filter(col("is_delta"))
       .select(col("bucket"), col("id").as("id_d"))
       .join(newTElig.select(col("bucket"), col("id").as("id_o")), Seq("bucket"))
       .filter(col("id_d") =!= col("id_o"))
@@ -145,6 +163,13 @@ object DeltaDedup {
       .distinct())
     val removedIds = keep("removedIds")(removedCand0.select(col("id_a").as("id"))
       .union(removedCand0.select(col("id_b").as("id"))).distinct())
+    // the added-edge verification (shingle hydration + pair kernels) is the
+    // expensive leg — overlap it with the removed-branch survivor scans
+    val addedCand = await(addedCandF)
+    val addedLF = keepF("addedL")(verify(addedCand)
+      .join(broadcast(baseEdges.join(
+        broadcast(addedCand.select("id_a").distinct()),
+        Seq("id_a"), "left_semi")), Seq("id_a", "id_b"), "left_anti"))
     val untouchedOfRemoved = keep("untouchedOfRemoved")(keyedB
       .join(broadcast(removedIds), Seq("id"), "left_semi")
       .join(broadcast(touched), Seq("bucket"), "left_anti"))
@@ -172,10 +197,7 @@ object DeltaDedup {
     // left), so the base edge table is never shuffled either.
     val removedL = keep("removedL")(baseEdges.join(broadcast(trueRemoved),
       Seq("id_a", "id_b"), "left_semi"))
-    val addedL = keep("addedL")(verify(addedCand)
-      .join(broadcast(baseEdges.join(
-        broadcast(addedCand.select("id_a").distinct()),
-        Seq("id_a"), "left_semi")), Seq("id_a", "id_b"), "left_anti"))
+    val addedL = await(addedLF)
     val removedK = removedL.select(keyFn(col("id_a")).as("url_a"),
       keyFn(col("id_b")).as("url_b"))
     val addedK = addedL.select(keyFn(col("id_a")).as("url_a"),
